@@ -1,0 +1,153 @@
+"""Attention for the diffusion/vision stacks: Pallas flash kernel + XLA path.
+
+This is the TPU-native replacement for the reference's torch SDPA /
+xformers calls inside `ldm/modules/attention.py:145` (CrossAttention), the
+diffusers UNet attention processors, SAM/Swin window attention, etc.
+
+Design:
+  * `flash_attention` — online-softmax Pallas kernel. Grid is
+    (batch*heads, q_blocks); K/V for one head live in VMEM (≤2 MB for
+    4096×128 bf16) and are consumed in BK-sized chunks with a running
+    (max, sum) rescale. FLOPs hit the MXU as (BQ×D)·(D×BK) matmuls.
+  * `sdpa_xla` — plain jnp reference (XLA fuses this well; also the
+    numerical oracle for tests).
+  * `attention` — public entry: pads head_dim→128 lanes and kv_len→block
+    multiple (mask-correct), picks the kernel, unpads.
+
+Head dims in the model zoo are 40/64/80/160 (SD1.5/SAM/CLIP) — never
+128-aligned, so the pad/unpad here is what keeps the MXU fully tiled.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def sdpa_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+             scale: float | None = None,
+             bias: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Reference attention. q,k,v: (B, H, L, D)."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        logits = logits + bias
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int,
+                  block_k: int):
+    """One (head, q-block): online softmax over kv chunks."""
+    q = q_ref[0].astype(jnp.float32) * scale          # (BQ, D)
+    bq = q.shape[0]
+    d = q.shape[1]
+    n_chunks = k_ref.shape[1] // block_k
+
+    def chunk(ci, carry):
+        acc, m_prev, l_prev = carry
+        k = k_ref[0, pl.ds(ci * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(ci * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # (BQ, BK)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ci * block_k
+        s = jnp.where(col < kv_len, s, -jnp.inf)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        correction = jnp.exp(m_prev - m_new)
+        l_new = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * correction + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        return acc, m_new, l_new
+
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+    m0 = jnp.full((bq, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc, _, l = jax.lax.fori_loop(0, n_chunks, chunk, (acc0, m0, l0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    scale: float, kv_len: int,
+                    block_q: int = 256, block_k: int = 512,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Padded-shape flash attention. q: (BH, Lq, D), k/v: (BH, Lkv, D).
+
+    Lq % block_q == 0, Lkv % block_k == 0, D % 128 == 0 (callers pad).
+    `kv_len` masks the key padding.
+    """
+    bh, lq, d = q.shape
+    lkv = k.shape[1]
+    grid = (bh, lq // block_q)
+    kernel = functools.partial(_flash_kernel, scale=scale, kv_len=kv_len,
+                               block_k=block_k)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lkv, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lkv, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * lq * lkv * d,
+            bytes_accessed=(q.size + k.size + v.size + q.size) * q.dtype.itemsize,
+            transcendentals=bh * lq * lkv,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+              scale: float | None = None, use_flash: bool | None = None,
+              interpret: bool = False) -> jnp.ndarray:
+    """Public attention op. q,k,v: (B, H, L, D); returns (B, H, Lq, D).
+
+    Pads D→128 multiple and Lq/Lkv→block multiples, then runs the Pallas
+    kernel (on TPU) or the XLA path (tiny shapes / CPU).
+    """
+    b, h, lq, d = q.shape
+    lkv = k.shape[2]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    if use_flash is None:
+        use_flash = (jax.default_backend() != "cpu") and lq * lkv >= 256 * 256
+    if not use_flash:
+        return sdpa_xla(q, k, v, scale=scale)
+
+    block_q = min(256, _ceil_to(lq, 8))
+    block_k = min(512, _ceil_to(lkv, _LANES))
+    dp = _ceil_to(d, _LANES)
+    lqp = _ceil_to(lq, block_q)
+    lkvp = _ceil_to(lkv, block_k)
+
+    def pad3(x, lp, dpad):
+        return jnp.pad(x, ((0, 0), (0, lp - x.shape[1]), (0, dpad - x.shape[2])))
+
+    qf = pad3(q.reshape(b * h, lq, d), lqp, dp)
+    kf = pad3(k.reshape(b * h, lkv, d), lkvp, dp)
+    vf = pad3(v.reshape(b * h, lkv, d), lkvp, dp)
+    out = flash_attention(qf, kf, vf, scale=scale, kv_len=lkv,
+                          block_q=block_q, block_k=block_k, interpret=interpret)
+    return out[:, :lq, :d].reshape(b, h, lq, d)

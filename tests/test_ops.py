@@ -1,0 +1,117 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from anyedit_tpu.ops.attention import attention, sdpa_xla
+from anyedit_tpu.ops.groupnorm import group_norm, group_norm_ref
+from anyedit_tpu.ops.morphology import dilate, erode, gaussian_blur, sobel_magnitude, tiered_dilate
+from anyedit_tpu.ops.nms import nms_fixed, box_iou
+from anyedit_tpu.ops.resize import resize_to_canvas, normalize_to_unit, denormalize_to_u8
+
+
+# ---- attention ----------------------------------------------------------
+
+@pytest.mark.parametrize("lq,lkv,d", [(256, 256, 64), (300, 77, 40), (128, 512, 80)])
+def test_flash_attention_matches_xla(lq, lkv, d):
+    key = jax.random.key(0)
+    b, h = 2, 3
+    q = jax.random.normal(key, (b, h, lq, d), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (b, h, lkv, d), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (b, h, lkv, d), jnp.float32)
+    ref = sdpa_xla(q, k, v)
+    out = attention(q, k, v, use_flash=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_attention_xla_path():
+    key = jax.random.key(3)
+    q = jax.random.normal(key, (1, 2, 64, 40))
+    out = attention(q, q, q, use_flash=False)
+    assert out.shape == q.shape
+
+
+# ---- groupnorm ----------------------------------------------------------
+
+def test_groupnorm_pallas_matches_ref():
+    key = jax.random.key(1)
+    x = jax.random.normal(key, (2, 8, 8, 128), jnp.float32)
+    scale = jax.random.normal(jax.random.fold_in(key, 1), (128,)) * 0.1 + 1.0
+    bias = jax.random.normal(jax.random.fold_in(key, 2), (128,)) * 0.1
+    ref = group_norm_ref(x, scale, bias, num_groups=32, silu=True)
+    out = group_norm(x, scale, bias, num_groups=32, silu=True,
+                     use_pallas=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_groupnorm_stats():
+    x = jax.random.normal(jax.random.key(2), (1, 4, 4, 64))
+    y = group_norm_ref(x, jnp.ones(64), jnp.zeros(64), num_groups=8)
+    yg = np.asarray(y).reshape(1, 16, 8, 8)
+    np.testing.assert_allclose(yg.mean(axis=(1, 3)), 0, atol=1e-5)
+    np.testing.assert_allclose(yg.std(axis=(1, 3)), 1, atol=1e-3)
+
+
+# ---- morphology ---------------------------------------------------------
+
+def test_dilate_erode():
+    m = jnp.zeros((9, 9), jnp.float32).at[4, 4].set(1.0)
+    d = dilate(m, 3)
+    assert float(jnp.sum(d)) == 9.0
+    e = erode(d, 3)
+    assert float(jnp.sum(e)) == 1.0 and float(e[4, 4]) == 1.0
+    t = tiered_dilate(m[None], jnp.array(0.01))
+    assert t.shape == (1, 9, 9)
+
+
+def test_gaussian_blur_preserves_mass():
+    img = jnp.zeros((16, 16), jnp.float32).at[8, 8].set(1.0)
+    out = gaussian_blur(img, sigma=1.5)
+    assert abs(float(jnp.sum(out)) - 1.0) < 1e-3
+    assert float(out[8, 8]) < 1.0
+
+
+def test_sobel():
+    img = jnp.zeros((16, 16), jnp.float32).at[:, 8:].set(1.0)
+    mag = sobel_magnitude(img)
+    assert float(mag[8, 8]) > 0 and float(mag[8, 0]) == 0
+
+
+# ---- nms ----------------------------------------------------------------
+
+def test_nms_suppresses_overlaps():
+    boxes = jnp.array([
+        [0, 0, 10, 10],
+        [1, 1, 11, 11],    # heavy overlap with 0
+        [50, 50, 60, 60],  # separate
+        [0, 0, 10, 10],    # duplicate of 0, lower score
+    ], jnp.float32)
+    scores = jnp.array([0.9, 0.8, 0.7, 0.1])
+    keep = nms_fixed(boxes, scores, iou_threshold=0.5)
+    assert bool(keep[0]) and bool(keep[2])
+    assert not bool(keep[1]) and not bool(keep[3])
+
+
+def test_nms_score_threshold():
+    boxes = jnp.array([[0, 0, 10, 10], [20, 20, 30, 30]], jnp.float32)
+    scores = jnp.array([0.9, 0.05])
+    keep = nms_fixed(boxes, scores, iou_threshold=0.5, score_threshold=0.1)
+    assert bool(keep[0]) and not bool(keep[1])
+
+
+def test_box_iou():
+    a = jnp.array([[0, 0, 10, 10]], jnp.float32)
+    b = jnp.array([[5, 5, 15, 15], [0, 0, 10, 10]], jnp.float32)
+    iou = box_iou(a, b)
+    np.testing.assert_allclose(np.asarray(iou[0]), [25 / 175, 1.0], atol=1e-6)
+
+
+# ---- resize -------------------------------------------------------------
+
+def test_resize_and_norm_roundtrip():
+    img = jnp.asarray(np.random.default_rng(0).integers(0, 256, (32, 24, 3), np.uint8))
+    canvas = resize_to_canvas(img.astype(jnp.float32), 16)
+    assert canvas.shape == (16, 16, 3)
+    x = normalize_to_unit(img)
+    back = denormalize_to_u8(x)
+    assert int(jnp.max(jnp.abs(back.astype(jnp.int32) - img.astype(jnp.int32)))) <= 1

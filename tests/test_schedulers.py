@@ -1,0 +1,147 @@
+"""Scheduler invariants (no external oracle available offline):
+
+* exact-noise oracle: if the model returns the true eps that generated x_t
+  from x0, every sampler must walk back to x0 (deterministic variants).
+* inversion ∘ sampling ≈ identity for DDIM.
+* monotonicity/shape sanity of schedules.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from anyedit_tpu.schedulers import (
+    make_noise_schedule, add_noise, pred_x0,
+    ddim_init, ddim_step, ddim_inversion_step, ddpm_step,
+    euler_ancestral_init, euler_ancestral_step,
+    flow_init, flow_step,
+)
+from anyedit_tpu.schedulers.common import velocity_target, spaced_timesteps
+from anyedit_tpu.schedulers.euler import euler_scale_input
+from anyedit_tpu.schedulers.flow import flow_add_noise, flux_mu
+
+
+def test_schedule_shapes():
+    ns = make_noise_schedule()
+    assert ns.betas.shape == (1000,)
+    assert float(ns.alphas_cumprod[0]) > float(ns.alphas_cumprod[-1]) > 0
+    ts = spaced_timesteps(1000, 50)
+    assert ts.shape == (50,) and int(ts[0]) > int(ts[-1]) == 0
+
+
+def test_pred_x0_consistency():
+    ns = make_noise_schedule()
+    key = jax.random.key(0)
+    x0 = jax.random.normal(key, (2, 4, 8, 8))
+    noise = jax.random.normal(jax.random.fold_in(key, 1), x0.shape)
+    t = jnp.array([500, 123])
+    xt = add_noise(ns, x0, noise, t)
+    # epsilon parametrization
+    x0_hat, eps_hat = jax.vmap(lambda m, s, tt: pred_x0(ns, m, s, tt))(noise, xt, t)
+    np.testing.assert_allclose(np.asarray(x0_hat), np.asarray(x0), atol=1e-4)
+    # v parametrization
+    nsv = ns._replace(prediction_type="v_prediction")
+    v = jax.vmap(lambda a, b, tt: velocity_target(nsv, a, b, tt))(x0, noise, t)
+    x0_hat2, eps_hat2 = jax.vmap(lambda m, s, tt: pred_x0(nsv, m, s, tt))(v, xt, t)
+    np.testing.assert_allclose(np.asarray(x0_hat2), np.asarray(x0), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(eps_hat2), np.asarray(noise), atol=1e-4)
+
+
+def _exact_eps_model(ns, x0):
+    """Oracle model: always returns the eps consistent with (x_t, x0)."""
+    def model(x, t):
+        acp = ns.alphas_cumprod[t]
+        return (x - jnp.sqrt(acp) * x0) / jnp.sqrt(1.0 - acp)
+    return model
+
+
+def test_ddim_recovers_x0_with_oracle():
+    ns = make_noise_schedule()
+    st = ddim_init(ns, 20)
+    key = jax.random.key(2)
+    x0 = jax.random.normal(key, (1, 4, 8, 8))
+    model = _exact_eps_model(ns, x0)
+    x = jax.random.normal(jax.random.fold_in(key, 7), x0.shape)
+    x = add_noise(ns, x0, x, jnp.array(st.timesteps[0]))
+    for i in range(20):
+        x = ddim_step(ns, st, jnp.array(i), model(x, st.timesteps[i]), x)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=1e-3)
+
+
+def test_ddim_inversion_roundtrip():
+    ns = make_noise_schedule()
+    st = ddim_init(ns, 10)
+    key = jax.random.key(3)
+    x0 = 0.1 * jax.random.normal(key, (1, 4, 8, 8))
+    model = _exact_eps_model(ns, x0)
+    # invert upward (low→high noise): loop indices S-1 .. 0 reversed
+    x = x0
+    for i in reversed(range(10)):
+        x = ddim_inversion_step(ns, st, jnp.array(i), model(x, st.timesteps[i]), x)
+    # sample back down
+    for i in range(10):
+        x = ddim_step(ns, st, jnp.array(i), model(x, st.timesteps[i]), x)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=1e-3)
+
+
+def test_ddpm_oracle_converges():
+    ns = make_noise_schedule()
+    key = jax.random.key(4)
+    x0 = 0.5 * jax.random.normal(key, (1, 4, 8, 8))
+    model = _exact_eps_model(ns, x0)
+    x = jax.random.normal(jax.random.fold_in(key, 1), x0.shape)
+    ts = spaced_timesteps(1000, 50)
+    for i in range(50):
+        t = jnp.array(int(ts[i]))
+        x = ddpm_step(ns, t, model(x, t), x, jax.random.fold_in(key, 100 + i))
+    # ancestral noise injections keep it stochastic; just require closeness
+    assert float(jnp.mean(jnp.abs(x - x0))) < 0.15
+
+
+def test_euler_ancestral_oracle():
+    ns = make_noise_schedule()
+    st = euler_ancestral_init(ns, 30)
+    key = jax.random.key(5)
+    x0 = 0.3 * jax.random.normal(key, (1, 4, 8, 8))
+
+    def model(x_sigma_space, i):
+        # oracle eps in sigma space: x = x0 + sigma*eps
+        sigma = st.sigmas[i]
+        return (x_sigma_space - x0) / jnp.clip(sigma, 1e-12)
+
+    x = x0 + st.sigmas[0] * jax.random.normal(jax.random.fold_in(key, 1), x0.shape)
+    for i in range(30):
+        scaled = euler_scale_input(st, jnp.array(i), x)
+        assert scaled.shape == x.shape
+        x = euler_ancestral_step(ns, st, jnp.array(i), model(x, i), x,
+                                 jax.random.fold_in(key, 200 + i))
+    assert float(jnp.mean(jnp.abs(x - x0))) < 0.1
+
+
+def test_flow_oracle_exact():
+    st = flow_init(8, shift=3.0)
+    key = jax.random.key(6)
+    x0 = jax.random.normal(key, (1, 4, 8, 8))
+    eps = jax.random.normal(jax.random.fold_in(key, 1), x0.shape)
+    x = flow_add_noise(st, jnp.array(0), x0, eps)
+    v = eps - x0  # constant true velocity along the straight path
+    for i in range(8):
+        x = flow_step(st, jnp.array(i), v, x)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=1e-5)
+    assert 0.0 < flux_mu(1024) < 2.0
+
+
+def test_full_loop_jits():
+    ns = make_noise_schedule()
+    st = ddim_init(ns, 10)
+
+    @jax.jit
+    def run(x):
+        def body(i, x):
+            eps = 0.1 * x  # stand-in model
+            return ddim_step(ns, st, i, eps, x)
+        return jax.lax.fori_loop(0, 10, body, x)
+
+    out = run(jnp.ones((1, 4, 8, 8)))
+    assert out.shape == (1, 4, 8, 8)
+    assert bool(jnp.all(jnp.isfinite(out)))
