@@ -1,0 +1,29 @@
+"""Edit-type → pipeline dispatch (replaces the reference's per-task CLI zoo)."""
+
+from __future__ import annotations
+
+from anyedit_tpu.edits import geometry, global_, local, outpainting
+from anyedit_tpu.edits.types import Pipeline
+
+EDIT_PIPELINES: dict[str, Pipeline] = {
+    "add": local.add,
+    "remove": local.remove,
+    "counting": local.remove,
+    "replace": local.replace,
+    "background_change": local.background_change,
+    "color_alter": global_.color_alter,
+    "tone_transfer": global_.tone_transfer,
+    "appearance_alter": global_.appearance_alter,
+    "material_alter": global_.appearance_alter,
+    "resize": geometry.resize_movement,
+    "movement": geometry.resize_movement,
+    "relation": geometry.relation_change,
+    "outpainting": outpainting.outpainting,
+}
+
+
+def get_pipeline(edit_type: str) -> Pipeline:
+    if edit_type not in EDIT_PIPELINES:
+        raise KeyError(f"no pipeline registered for edit_type={edit_type!r} "
+                       f"(have: {sorted(EDIT_PIPELINES)})")
+    return EDIT_PIPELINES[edit_type]

@@ -1,0 +1,164 @@
+"""CLIP text + vision towers.
+
+One implementation covers the zoo's many CLIP uses (reference:
+FrozenCLIPEmbedder ldm/modules/encoders/modules.py:107 for SD conditioning;
+CLIP-ViT-H-14 / ViT-B-32 / ViT-L-14 scorers in filter_tool/utils.py:21,280
+and pre_filter.py; SAM/GroundingDINO image normalization conventions differ
+and live in their own modules).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from anyedit_tpu.models.layers import LayerNorm, MultiHeadAttention
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPTextConfig:
+    vocab_size: int = 49408
+    hidden: int = 768
+    layers: int = 12
+    heads: int = 12
+    max_len: int = 77
+    dtype: Any = jnp.bfloat16
+    # "quick_gelu" for OpenAI CLIP (SD1.x text encoder), "gelu" for OpenCLIP
+    activation: str = "quick_gelu"
+
+
+CLIP_L_TEXT = CLIPTextConfig()                                     # SD1.5 / ViT-L
+CLIP_H_TEXT = CLIPTextConfig(hidden=1024, layers=24, heads=16, activation="gelu")
+CLIP_B32_TEXT = CLIPTextConfig(hidden=512, layers=12, heads=8)
+TINY_TEXT = CLIPTextConfig(vocab_size=256, hidden=32, layers=2, heads=2, max_len=16)
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPVisionConfig:
+    image_size: int = 224
+    patch: int = 14
+    hidden: int = 1024
+    layers: int = 24
+    heads: int = 16
+    proj_dim: int = 768
+    dtype: Any = jnp.bfloat16
+    activation: str = "quick_gelu"
+
+
+CLIP_L_VISION = CLIPVisionConfig()
+CLIP_H_VISION = CLIPVisionConfig(hidden=1280, layers=32, heads=16,
+                                 proj_dim=1024, activation="gelu")
+CLIP_B32_VISION = CLIPVisionConfig(patch=32, hidden=768, layers=12, heads=12,
+                                   proj_dim=512)
+TINY_VISION = CLIPVisionConfig(image_size=32, patch=8, hidden=32, layers=2,
+                               heads=2, proj_dim=16)
+
+
+def _act(name: str):
+    if name == "quick_gelu":
+        return lambda x: x * nn.sigmoid(1.702 * x)
+    return nn.gelu
+
+
+class CLIPBlock(nn.Module):
+    hidden: int
+    heads: int
+    dtype: Any
+    activation: str
+    tag: str
+
+    @nn.compact
+    def __call__(self, x, mask_bias=None):
+        hd = self.hidden // self.heads
+        h = LayerNorm(dtype=self.dtype, name="ln1")(x)
+        extra = {"bias": mask_bias} if mask_bias is not None else None
+        # causal masking is applied via a processor closure in the encoder
+        attn = MultiHeadAttention(self.heads, hd, self.hidden, self.tag, True,
+                                  dtype=self.dtype, qkv_bias=True, name="attn")
+        x = x + attn(h, None, self._processor(mask_bias), None)
+        h = LayerNorm(dtype=self.dtype, name="ln2")(x)
+        h = nn.Dense(self.hidden * 4, dtype=self.dtype, name="fc1")(h)
+        h = _act(self.activation)(h)
+        h = nn.Dense(self.hidden, dtype=self.dtype, name="fc2")(h)
+        return x + h
+
+    @staticmethod
+    def _processor(mask_bias):
+        if mask_bias is None:
+            return None
+        from anyedit_tpu.ops.attention import sdpa_xla
+
+        def proc(q, k, v, meta, extra):
+            return sdpa_xla(q, k, v, bias=mask_bias)
+        return proc
+
+
+class CLIPTextEncoder(nn.Module):
+    """Returns (last_hidden (B,L,H), pooled (B,H)). `pooled` = EOS-token
+    embedding (argmax of ids, CLIP convention)."""
+
+    cfg: CLIPTextConfig = CLIP_L_TEXT
+
+    @nn.compact
+    def __call__(self, ids: jnp.ndarray):
+        c = self.cfg
+        b, l = ids.shape
+        tok = nn.Embed(c.vocab_size, c.hidden, dtype=c.dtype, name="token_emb")(ids)
+        pos = self.param("pos_emb", nn.initializers.normal(0.01),
+                         (c.max_len, c.hidden), jnp.float32)
+        x = tok + pos[None, :l].astype(c.dtype)
+        causal = jnp.triu(jnp.full((l, l), -jnp.inf, jnp.float32), k=1)[None, None]
+        for i in range(c.layers):
+            x = CLIPBlock(c.hidden, c.heads, c.dtype, c.activation,
+                          f"text.{i}", name=f"block_{i}")(x, causal)
+        x = LayerNorm(dtype=c.dtype, name="ln_final")(x)
+        eos = jnp.argmax(ids, axis=-1)
+        pooled = x[jnp.arange(b), eos]
+        return x.astype(jnp.float32), pooled.astype(jnp.float32)
+
+
+class CLIPTextModel(nn.Module):
+    """Text tower + projection (for similarity scoring)."""
+
+    cfg: CLIPTextConfig = CLIP_L_TEXT
+    proj_dim: int = 768
+
+    @nn.compact
+    def __call__(self, ids):
+        _, pooled = CLIPTextEncoder(self.cfg, name="encoder")(ids)
+        z = nn.Dense(self.proj_dim, use_bias=False, dtype=jnp.float32,
+                     name="text_proj")(pooled)
+        return z / jnp.linalg.norm(z, axis=-1, keepdims=True)
+
+
+class CLIPVisionEncoder(nn.Module):
+    """Returns (patch_tokens (B,N+1,H), pooled-projected (B,P) L2-normed)."""
+
+    cfg: CLIPVisionConfig = CLIP_L_VISION
+
+    @nn.compact
+    def __call__(self, pixels: jnp.ndarray):
+        c = self.cfg
+        b = pixels.shape[0]
+        x = nn.Conv(c.hidden, (c.patch, c.patch), strides=(c.patch, c.patch),
+                    use_bias=False, dtype=c.dtype, name="patch_emb")(
+            pixels.astype(c.dtype))
+        n = (c.image_size // c.patch) ** 2
+        x = x.reshape(b, n, c.hidden)
+        cls = self.param("cls", nn.initializers.normal(0.02), (c.hidden,), jnp.float32)
+        x = jnp.concatenate([jnp.broadcast_to(cls.astype(c.dtype), (b, 1, c.hidden)), x], 1)
+        pos = self.param("pos_emb", nn.initializers.normal(0.01),
+                         (n + 1, c.hidden), jnp.float32)
+        x = x + pos[None].astype(c.dtype)
+        x = LayerNorm(dtype=c.dtype, name="pre_ln")(x)
+        for i in range(c.layers):
+            x = CLIPBlock(c.hidden, c.heads, c.dtype, c.activation,
+                          f"vis.{i}", name=f"block_{i}")(x)
+        pooled = LayerNorm(dtype=c.dtype, name="post_ln")(x[:, 0])
+        z = nn.Dense(c.proj_dim, use_bias=False, dtype=jnp.float32,
+                     name="visual_proj")(pooled.astype(jnp.float32))
+        z = z / jnp.linalg.norm(z, axis=-1, keepdims=True)
+        return x.astype(jnp.float32), z

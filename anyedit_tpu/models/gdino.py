@@ -1,0 +1,321 @@
+"""GroundingDINO — open-vocabulary detector (the grounding stage's core).
+
+Capability parity with reference `GroundingDINO/groundingdino/models/`
+(`GroundingDINO` groundingdino.py:51 forward :212, `Transformer`
+transformer.py:40, fusion fuse_modules.py:99/252, deformable attention
+ms_deform_attn.py:136), rebuilt TPU-first:
+  * all token streams are static-shape (text padded to max_text_len,
+    queries fixed at num_queries, image buckets fixed),
+  * the CUDA im2col kernel is replaced by `ops.deform_attn.ms_deform_attn`,
+  * cross-modality fusion (BiMultiHeadAttention) is a pair of standard
+    attention calls with learned gamma gates — XLA fuses the rest.
+
+Surface: `model.apply(params, pixels, text_ids, text_mask)` →
+(pred_logits (B, Q, T), pred_boxes (B, Q, 4) in normalized cxcywh),
+matching the reference's output contract consumed by
+`get_grounding_output` (tool.py:116-147).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from anyedit_tpu.models.bert import BertConfig, BertEncoder, BERT_BASE, TINY_BERT
+from anyedit_tpu.models.layers import LayerNorm
+from anyedit_tpu.models.swin import SwinConfig, SwinTransformer, SWIN_B, TINY_SWIN
+from anyedit_tpu.ops.attention import sdpa_xla
+from anyedit_tpu.ops.deform_attn import ms_deform_attn
+
+
+@dataclasses.dataclass(frozen=True)
+class GDINOConfig:
+    swin: SwinConfig = SWIN_B
+    bert: BertConfig = BERT_BASE
+    hidden: int = 256
+    heads: int = 8
+    enc_layers: int = 6
+    dec_layers: int = 6
+    num_queries: int = 900
+    num_levels: int = 4
+    num_points: int = 4
+    max_text_len: int = 256
+    ffn_dim: int = 2048
+    dtype: Any = jnp.bfloat16
+
+
+GDINO_SWINB = GDINOConfig()
+TINY_GDINO = GDINOConfig(swin=TINY_SWIN, bert=TINY_BERT, hidden=32, heads=2,
+                         enc_layers=1, dec_layers=1, num_queries=12,
+                         num_levels=2, num_points=2, max_text_len=16,
+                         ffn_dim=64)
+
+
+def _inverse_sigmoid(x, eps=1e-5):
+    x = jnp.clip(x, eps, 1 - eps)
+    return jnp.log(x / (1 - x))
+
+
+class DeformAttnModule(nn.Module):
+    """Learned sampling offsets/weights + the gather op."""
+
+    cfg: GDINOConfig
+
+    @nn.compact
+    def __call__(self, query, value, spatial_shapes, ref_points):
+        """query (B,Q,C); value (B,S,C); ref_points (B,Q,L,2 or 4) normalized."""
+        c = self.cfg
+        b, q, _ = query.shape
+        h, l, k = c.heads, c.num_levels, c.num_points
+        d = c.hidden // h
+        v = nn.Dense(c.hidden, dtype=c.dtype, name="value_proj")(value)
+        v = v.reshape(b, -1, h, d)
+        off = nn.Dense(h * l * k * 2, dtype=c.dtype, name="sampling_offsets")(query)
+        off = off.reshape(b, q, h, l, k, 2).astype(jnp.float32)
+        w = nn.Dense(h * l * k, dtype=c.dtype, name="attn_weights")(query)
+        w = jax.nn.softmax(w.reshape(b, q, h, l * k).astype(jnp.float32), axis=-1)
+        w = w.reshape(b, q, h, l, k)
+        wh = jnp.asarray([(ww, hh) for hh, ww in spatial_shapes], jnp.float32)
+        if ref_points.shape[-1] == 2:
+            loc = ref_points[:, :, None, :, None, :] \
+                + off / wh[None, None, None, :, None, :]
+        else:  # boxes: offsets scaled by half box size
+            ctr = ref_points[..., :2][:, :, None, :, None, :]
+            size = ref_points[..., 2:][:, :, None, :, None, :]
+            loc = ctr + off / k * size * 0.5
+        out = ms_deform_attn(v, spatial_shapes, loc, w)
+        return nn.Dense(c.hidden, dtype=c.dtype, name="out_proj")(out)
+
+
+class BiFusion(nn.Module):
+    """Bidirectional image↔text attention with gamma gates
+    (fuse_modules.py:99 BiMultiHeadAttention / :252 BiAttentionBlock)."""
+
+    cfg: GDINOConfig
+
+    @nn.compact
+    def __call__(self, img, txt, txt_bias):
+        c = self.cfg
+        h = c.heads
+        d = c.hidden // h
+        gi = self.param("gamma_i", nn.initializers.constant(1e-4),
+                        (c.hidden,), jnp.float32)
+        gt = self.param("gamma_t", nn.initializers.constant(1e-4),
+                        (c.hidden,), jnp.float32)
+        img_n = LayerNorm(dtype=c.dtype, name="ln_i")(img)
+        txt_n = LayerNorm(dtype=c.dtype, name="ln_t")(txt)
+        b, s, _ = img_n.shape
+        t = txt_n.shape[1]
+        sp = lambda x, l: x.reshape(b, l, h, d).transpose(0, 2, 1, 3)
+        qi = sp(nn.Dense(c.hidden, dtype=c.dtype, name="qi")(img_n), s)
+        kt = sp(nn.Dense(c.hidden, dtype=c.dtype, name="kt")(txt_n), t)
+        vt = sp(nn.Dense(c.hidden, dtype=c.dtype, name="vt")(txt_n), t)
+        vi = sp(nn.Dense(c.hidden, dtype=c.dtype, name="vi")(img_n), s)
+        i2t = sdpa_xla(qi, kt, vt, bias=txt_bias)                 # img attends text
+        t2i = sdpa_xla(kt, qi, vi)                                # text attends img
+        i2t = i2t.transpose(0, 2, 1, 3).reshape(b, s, c.hidden)
+        t2i = t2i.transpose(0, 2, 1, 3).reshape(b, t, c.hidden)
+        img = img + gi * nn.Dense(c.hidden, dtype=c.dtype, name="oi")(i2t)
+        txt = txt + gt * nn.Dense(c.hidden, dtype=c.dtype, name="ot")(t2i)
+        return img, txt
+
+
+class FFN(nn.Module):
+    cfg: GDINOConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        h = nn.Dense(c.ffn_dim, dtype=c.dtype, name="fc1")(x)
+        h = nn.relu(h)
+        h = nn.Dense(c.hidden, dtype=c.dtype, name="fc2")(h)
+        return LayerNorm(dtype=c.dtype, name="ln")(x + h)
+
+
+class EncoderLayer(nn.Module):
+    cfg: GDINOConfig
+
+    @nn.compact
+    def __call__(self, img, txt, spatial_shapes, ref_points, pos, txt_bias,
+                 txt_kpm_bias):
+        c = self.cfg
+        # fusion first (per reference encoder ordering)
+        img, txt = BiFusion(c, name="fusion")(img, txt, txt_kpm_bias)
+        # text self-attention
+        tq = txt + 0.0
+        tn = LayerNorm(dtype=c.dtype, name="txt_ln")(tq)
+        h = c.heads
+        b, t, _ = tn.shape
+        d = c.hidden // h
+        sp = lambda x: x.reshape(b, t, h, d).transpose(0, 2, 1, 3)
+        ta = sdpa_xla(sp(nn.Dense(c.hidden, dtype=c.dtype, name="tq")(tn)),
+                      sp(nn.Dense(c.hidden, dtype=c.dtype, name="tk")(tn)),
+                      sp(nn.Dense(c.hidden, dtype=c.dtype, name="tv")(tn)),
+                      bias=txt_bias)
+        ta = ta.transpose(0, 2, 1, 3).reshape(b, t, c.hidden)
+        txt = txt + nn.Dense(c.hidden, dtype=c.dtype, name="to")(ta)
+        txt = FFN(c, name="txt_ffn")(txt)
+        # vision deformable self-attention
+        q = LayerNorm(dtype=c.dtype, name="img_ln")(img + pos)
+        img = img + DeformAttnModule(c, name="deform")(
+            q, img, spatial_shapes, ref_points)
+        img = FFN(c, name="img_ffn")(img)
+        return img, txt
+
+
+class DecoderLayer(nn.Module):
+    cfg: GDINOConfig
+
+    @nn.compact
+    def __call__(self, tgt, img, txt, spatial_shapes, ref_boxes, q_pos,
+                 txt_kpm_bias):
+        c = self.cfg
+        h, b = c.heads, tgt.shape[0]
+        q = tgt.shape[1]
+        d = c.hidden // h
+        sp = lambda x, l: x.reshape(b, l, h, d).transpose(0, 2, 1, 3)
+        # self-attention among queries
+        tn = LayerNorm(dtype=c.dtype, name="ln_sa")(tgt + q_pos)
+        sa = sdpa_xla(sp(nn.Dense(c.hidden, dtype=c.dtype, name="sq")(tn), q),
+                      sp(nn.Dense(c.hidden, dtype=c.dtype, name="sk")(tn), q),
+                      sp(nn.Dense(c.hidden, dtype=c.dtype, name="sv")(tgt), q))
+        tgt = tgt + nn.Dense(c.hidden, dtype=c.dtype, name="so")(
+            sa.transpose(0, 2, 1, 3).reshape(b, q, c.hidden))
+        # text cross-attention
+        tn = LayerNorm(dtype=c.dtype, name="ln_ta")(tgt + q_pos)
+        t = txt.shape[1]
+        ca = sdpa_xla(sp(nn.Dense(c.hidden, dtype=c.dtype, name="cq")(tn), q),
+                      sp(nn.Dense(c.hidden, dtype=c.dtype, name="ck")(txt), t),
+                      sp(nn.Dense(c.hidden, dtype=c.dtype, name="cv")(txt), t),
+                      bias=txt_kpm_bias)
+        tgt = tgt + nn.Dense(c.hidden, dtype=c.dtype, name="co")(
+            ca.transpose(0, 2, 1, 3).reshape(b, q, c.hidden))
+        # deformable cross-attention to image
+        tn = LayerNorm(dtype=c.dtype, name="ln_da")(tgt + q_pos)
+        ref = jnp.broadcast_to(ref_boxes[:, :, None, :],
+                               (b, q, c.num_levels, 4))
+        tgt = tgt + DeformAttnModule(c, name="deform")(
+            tn, img, spatial_shapes, ref)
+        return FFN(c, name="ffn")(tgt)
+
+
+class BoxHead(nn.Module):
+    cfg: GDINOConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        h = nn.relu(nn.Dense(c.hidden, dtype=c.dtype, name="fc1")(x))
+        h = nn.relu(nn.Dense(c.hidden, dtype=c.dtype, name="fc2")(h))
+        return nn.Dense(4, dtype=jnp.float32, name="fc3")(h.astype(jnp.float32))
+
+
+class GroundingDINO(nn.Module):
+    cfg: GDINOConfig = GDINO_SWINB
+
+    @nn.compact
+    def __call__(self, pixels, text_ids, text_mask):
+        """pixels (B,H,W,3) ImageNet-normalized; text_ids (B,T) int;
+        text_mask (B,T) bool (True = real token).
+        → (pred_logits (B,Q,T), pred_boxes (B,Q,4) cxcywh in [0,1])."""
+        c = self.cfg
+
+        # ---- text tower -------------------------------------------------
+        kpm_bias = jnp.where(text_mask, 0.0, -1e9)[:, None, None, :]  # key-pad
+        txt = BertEncoder(c.bert, name="bert")(text_ids, kpm_bias)
+        txt = nn.Dense(c.hidden, dtype=c.dtype, name="feat_map")(
+            txt.astype(c.dtype))                                      # (B,T,C)
+
+        # ---- vision tower ----------------------------------------------
+        feats = SwinTransformer(c.swin, name="swin")(pixels)
+        maps = [feats[k] for k in sorted(feats)]
+        # extra coarse level via stride-2 conv on the last map
+        while len(maps) < c.num_levels:
+            maps.append(nn.Conv(c.hidden, (3, 3), strides=(2, 2), padding="SAME",
+                                dtype=c.dtype,
+                                name=f"extra_{len(maps)}")(maps[-1]))
+        spatial_shapes = tuple((m.shape[1], m.shape[2]) for m in maps)
+        proj = []
+        for i, m in enumerate(maps):
+            p = nn.Conv(c.hidden, (1, 1), dtype=c.dtype, name=f"in_proj_{i}")(m)
+            p = LayerNorm(dtype=c.dtype, name=f"in_ln_{i}")(p)
+            proj.append(p.reshape(m.shape[0], -1, c.hidden))
+        img = jnp.concatenate(proj, axis=1)                           # (B,S,C)
+        b, s, _ = img.shape
+
+        # level embedding + per-token normalized reference points
+        lvl_emb = self.param("level_embed", nn.initializers.normal(1.0),
+                             (c.num_levels, c.hidden), jnp.float32)
+        pos_parts, ref_parts = [], []
+        for li, (hh, ww) in enumerate(spatial_shapes):
+            ys = (jnp.arange(hh, dtype=jnp.float32) + 0.5) / hh
+            xs = (jnp.arange(ww, dtype=jnp.float32) + 0.5) / ww
+            gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+            ref_parts.append(jnp.stack([gx, gy], -1).reshape(-1, 2))
+            # sine positional embedding per location + level embed
+            coords = jnp.stack([gx, gy], -1).reshape(-1, 2)
+            dim_t = jnp.arange(c.hidden // 4, dtype=jnp.float32)
+            dim_t = 10000.0 ** (2 * (dim_t // 2) / (c.hidden // 2))
+            pe = (coords[:, :, None] * 2 * jnp.pi) / dim_t
+            pe = jnp.concatenate([jnp.sin(pe), jnp.cos(pe)], axis=-1).reshape(-1, c.hidden)
+            pos_parts.append(pe + lvl_emb[li])
+        pos = jnp.broadcast_to(jnp.concatenate(pos_parts, 0)[None],
+                               (b, s, c.hidden)).astype(c.dtype)
+        ref_pts = jnp.concatenate(ref_parts, 0)                       # (S, 2)
+        ref_pts = jnp.broadcast_to(ref_pts[None, :, None, :],
+                                   (b, s, c.num_levels, 2))
+
+        # ---- cross-modality encoder ------------------------------------
+        for i in range(c.enc_layers):
+            img, txt = EncoderLayer(c, name=f"enc_{i}")(
+                img, txt, spatial_shapes, ref_pts, pos, None, kpm_bias)
+
+        # ---- language-guided query selection ---------------------------
+        out_mem = LayerNorm(dtype=c.dtype, name="mem_ln")(
+            nn.Dense(c.hidden, dtype=c.dtype, name="mem_proj")(img))
+        sim = jnp.einsum("bsc,btc->bst", out_mem.astype(jnp.float32),
+                         txt.astype(jnp.float32))
+        sim = jnp.where(text_mask[:, None, :], sim, -1e9)
+        score = jnp.max(sim, axis=-1)                                 # (B,S)
+        nq = min(c.num_queries, s)
+        _, top_idx = jax.lax.top_k(score, nq)                         # (B,nq)
+        anchors = jnp.take_along_axis(
+            jnp.broadcast_to(ref_pts[:, :, 0, :], (b, s, 2)), top_idx[..., None],
+            axis=1)
+        prop_boxes = jnp.concatenate(
+            [anchors, jnp.full((b, nq, 2), 0.1)], axis=-1)            # cxcywh
+        sel_mem = jnp.take_along_axis(out_mem, top_idx[..., None], axis=1)
+        delta = BoxHead(c, name="enc_box_head")(sel_mem)
+        ref_boxes = jax.nn.sigmoid(_inverse_sigmoid(prop_boxes) + delta)
+
+        tgt_emb = self.param("tgt_embed", nn.initializers.normal(1.0),
+                             (c.num_queries, c.hidden), jnp.float32)
+        tgt = jnp.broadcast_to(tgt_emb[None, :nq], (b, nq, c.hidden)).astype(c.dtype)
+
+        # ---- decoder with iterative box refinement ---------------------
+        for i in range(c.dec_layers):
+            # query pos embedding from current reference boxes
+            dim_t = jnp.arange(c.hidden // 8, dtype=jnp.float32)
+            dim_t = 10000.0 ** (2 * (dim_t // 2) / (c.hidden // 4))
+            pe = (ref_boxes[:, :, :, None] * 2 * jnp.pi) / dim_t
+            pe = jnp.concatenate([jnp.sin(pe), jnp.cos(pe)], -1).reshape(
+                b, nq, c.hidden)
+            q_pos = nn.Dense(c.hidden, dtype=c.dtype, name=f"qpos_{i}")(
+                pe.astype(c.dtype))
+            tgt = DecoderLayer(c, name=f"dec_{i}")(
+                tgt, img, txt, spatial_shapes, ref_boxes, q_pos, kpm_bias)
+            delta = BoxHead(c, name=f"dec_box_head_{i}")(tgt)
+            ref_boxes = jax.nn.sigmoid(_inverse_sigmoid(ref_boxes) + delta)
+            ref_boxes = jax.lax.stop_gradient(ref_boxes)
+
+        # ---- contrastive phrase logits ----------------------------------
+        logits = jnp.einsum("bqc,btc->bqt", tgt.astype(jnp.float32),
+                            txt.astype(jnp.float32)) / jnp.sqrt(float(c.hidden))
+        logit_bias = self.param("logit_bias", nn.initializers.zeros, (), jnp.float32)
+        logits = logits + logit_bias
+        logits = jnp.where(text_mask[:, None, :], logits, -1e9)
+        return logits, ref_boxes

@@ -1,0 +1,164 @@
+"""Shared building blocks for the diffusion/vision model zoo.
+
+TPU-first conventions used across the zoo:
+  * NHWC activations everywhere (feeds the MXU's conv tiling directly),
+  * params live in fp32, compute in `dtype` (bf16 by default),
+  * attention is the pluggable `AttnProcessor` slot — the functional
+    replacement for the reference's attention monkey-patching
+    (masactrl_utils.py register hooks, prompt2prompt ptp_utils), so
+    MasaCtrl / P2P / IP-Adapter become *arguments*, not surgery.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from anyedit_tpu.ops.attention import attention as attention_op
+
+
+@dataclasses.dataclass(frozen=True)
+class AttnMeta:
+    """Static identity of one attention site (used by processors to route)."""
+
+    name: str           # unique path, e.g. "down_1.tf_0.self"
+    is_self: bool
+    num_heads: int
+    head_dim: int
+
+
+# AttnProcessor: (q, k, v, meta, extra) -> out. q,k,v: (B, H, L, D).
+AttnProcessor = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray, AttnMeta,
+                          Optional[dict[str, Any]]], jnp.ndarray]
+
+
+def default_processor(q, k, v, meta: AttnMeta, extra=None):
+    del meta, extra
+    return attention_op(q, k, v)
+
+
+class MultiHeadAttention(nn.Module):
+    """Projection wrapper around the processor slot."""
+
+    num_heads: int
+    head_dim: int
+    out_dim: int
+    name_tag: str
+    is_self: bool
+    dtype: Any = jnp.bfloat16
+    qkv_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x, context=None, processor: AttnProcessor | None = None,
+                 extra=None):
+        context = x if context is None else context
+        inner = self.num_heads * self.head_dim
+        dense = lambda n, d: nn.Dense(d, use_bias=self.qkv_bias, dtype=self.dtype, name=n)
+        q = dense("to_q", inner)(x)
+        k = dense("to_k", inner)(context)
+        v = dense("to_v", inner)(context)
+        b, lq = q.shape[0], q.shape[1]
+        lkv = k.shape[1]
+        split = lambda t, l: t.reshape(b, l, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)
+        q, k, v = split(q, lq), split(k, lkv), split(v, lkv)
+        meta = AttnMeta(self.name_tag, self.is_self, self.num_heads, self.head_dim)
+        proc = processor or default_processor
+        out = proc(q, k, v, meta, extra)
+        out = out.transpose(0, 2, 1, 3).reshape(b, lq, inner)
+        return nn.Dense(self.out_dim, dtype=self.dtype, name="to_out")(out)
+
+
+class GroupNorm(nn.Module):
+    """fp32-stat GroupNorm over NHWC (optionally fused SiLU)."""
+
+    num_groups: int = 32
+    eps: float = 1e-5
+    silu: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        g = self.num_groups
+        shape = xf.shape
+        xg = xf.reshape(shape[:-1] + (g, c // g))
+        red = tuple(range(1, xf.ndim - 1)) + (xf.ndim,)
+        mean = jnp.mean(xg, axis=red, keepdims=True)
+        var = jnp.var(xg, axis=red, keepdims=True)
+        y = ((xg - mean) * jax.lax.rsqrt(var + self.eps)).reshape(shape)
+        y = y * scale + bias
+        if self.silu:
+            y = y * jax.nn.sigmoid(y)
+        return y.astype(self.dtype)
+
+
+class LayerNorm(nn.Module):
+    dtype: Any = jnp.bfloat16
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        return y.astype(self.dtype)
+
+
+def timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0,
+                       flip_sin_to_cos: bool = True,
+                       downscale_freq_shift: float = 0.0) -> jnp.ndarray:
+    """Sinusoidal timestep embedding (SD convention)."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+                    / (half - downscale_freq_shift))
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class Conv3x3(nn.Module):
+    features: int
+    stride: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
+                       padding=((1, 1), (1, 1)), dtype=self.dtype)(x)
+
+
+class GEGLU(nn.Module):
+    dim_out: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.dim_out * 2, dtype=self.dtype)(x)
+        a, g = jnp.split(h, 2, axis=-1)
+        return a * jax.nn.gelu(g)
+
+
+class FeedForward(nn.Module):
+    mult: int = 4
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        h = GEGLU(dim * self.mult, dtype=self.dtype)(x)
+        return nn.Dense(dim, dtype=self.dtype)(h)

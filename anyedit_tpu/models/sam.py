@@ -1,0 +1,347 @@
+"""SAM (Segment Anything) — promptable segmentation for the grounding stage.
+
+Capability parity with the reference's vendored `segment_anything/`
+(`Sam` modeling/sam.py:18, `ImageEncoderViT` image_encoder.py:17,
+`PromptEncoder` prompt_encoder.py:16, `MaskDecoder` mask_decoder.py:16,
+`SamPredictor.set_image/predict_torch` predictor.py:34,169), redesigned:
+
+  * NHWC + bf16; windowed attention runs as one batched attention over
+    (B·windows) so every window hits the MXU together,
+  * fixed 1024×1024 input bucket (the reference's own canonical size), so
+    the encoder compiles exactly once,
+  * the factory's usage is boxes-only prompts (tool.py:245 predict_torch
+    with boxes) — points and boxes share one embedding path here,
+  * encoder runs ONCE per image; the light decoder re-runs per box prompt,
+    mirroring set_image/predict split.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from anyedit_tpu.models.layers import LayerNorm
+from anyedit_tpu.ops.attention import attention as attention_op
+
+
+@dataclasses.dataclass(frozen=True)
+class SAMConfig:
+    img_size: int = 1024
+    patch: int = 16
+    enc_dim: int = 1280            # ViT-H
+    enc_depth: int = 32
+    enc_heads: int = 16
+    window: int = 14
+    global_attn_idx: tuple[int, ...] = (7, 15, 23, 31)
+    out_dim: int = 256             # neck / prompt / decoder dim
+    dec_depth: int = 2
+    dec_heads: int = 8
+    num_mask_tokens: int = 4       # 1 "whole" + 3 multimask
+    dtype: Any = jnp.bfloat16
+
+
+SAM_VIT_H = SAMConfig()
+SAM_VIT_B = SAMConfig(enc_dim=768, enc_depth=12, enc_heads=12,
+                      global_attn_idx=(2, 5, 8, 11))
+TINY_SAM = SAMConfig(img_size=64, patch=8, enc_dim=32, enc_depth=2,
+                     enc_heads=2, window=4, global_attn_idx=(1,), out_dim=32,
+                     dec_heads=2)
+
+
+# ---- encoder -------------------------------------------------------------
+
+def _window_partition(x: jnp.ndarray, w: int):
+    """(B, H, W, C) → (B·nW, w, w, C) with padding; returns (windows, padded hw)."""
+    b, h, ww, c = x.shape
+    ph, pw = (w - h % w) % w, (w - ww % w) % w
+    x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    hp, wp = h + ph, ww + pw
+    x = x.reshape(b, hp // w, w, wp // w, w, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, w, w, c), (hp, wp)
+
+
+def _window_unpartition(win: jnp.ndarray, w: int, padded, orig):
+    hp, wp = padded
+    h, ww = orig
+    b = win.shape[0] // ((hp // w) * (wp // w))
+    x = win.reshape(b, hp // w, wp // w, w, w, -1).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, hp, wp, -1)[:, :h, :ww]
+
+
+def _decomposed_rel_pos_bias(rel_h: jnp.ndarray, rel_w: jnp.ndarray,
+                             q_hw: tuple[int, int], k_hw: tuple[int, int],
+                             q: jnp.ndarray) -> jnp.ndarray:
+    """SAM's decomposed relative position bias (image_encoder.py get_rel_pos).
+
+    rel_h/rel_w: (2·size−1, head_dim) tables. q: (B, H, qh*qw, d).
+    Returns bias (B, H, qh*qw, kh*kw).
+    """
+    qh, qw = q_hw
+    kh, kw = k_hw
+    idx_h = jnp.arange(qh)[:, None] - jnp.arange(kh)[None, :] + (kh - 1)
+    idx_w = jnp.arange(qw)[:, None] - jnp.arange(kw)[None, :] + (kw - 1)
+    rh = rel_h[idx_h]                      # (qh, kh, d)
+    rw = rel_w[idx_w]                      # (qw, kw, d)
+    b, h, _, d = q.shape
+    qr = q.reshape(b, h, qh, qw, d)
+    bias_h = jnp.einsum("bhqwd,qkd->bhqwk", qr, rh)   # (B,H,qh,qw,kh)
+    bias_w = jnp.einsum("bhqwd,wkd->bhqwk", qr, rw)   # (B,H,qh,qw,kw)
+    bias = bias_h[..., :, None] + bias_w[..., None, :]
+    return bias.reshape(b, h, qh * qw, kh * kw)
+
+
+class SAMEncBlock(nn.Module):
+    cfg: SAMConfig
+    use_window: bool
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        b, h, w, ch = x.shape
+        shortcut = x
+        x = LayerNorm(dtype=c.dtype, name="ln1")(x)
+        if self.use_window:
+            x, padded = _window_partition(x, c.window)
+            ah, aw = c.window, c.window
+        else:
+            ah, aw = h, w
+        nb = x.shape[0]
+        qkv = nn.Dense(3 * ch, dtype=c.dtype, name="qkv")(x.reshape(nb, ah * aw, ch))
+        hd = ch // c.enc_heads
+        qkv = qkv.reshape(nb, ah * aw, 3, c.enc_heads, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        rel_h = self.param("rel_h", nn.initializers.zeros, (2 * ah - 1, hd), jnp.float32)
+        rel_w = self.param("rel_w", nn.initializers.zeros, (2 * aw - 1, hd), jnp.float32)
+        scale = hd ** -0.5
+        bias = _decomposed_rel_pos_bias(rel_h, rel_w, (ah, aw), (ah, aw),
+                                        q.astype(jnp.float32) * scale)
+        from anyedit_tpu.ops.attention import sdpa_xla
+        out = sdpa_xla(q, k, v, bias=bias)
+        out = out.transpose(0, 2, 1, 3).reshape(nb, ah, aw, ch)
+        if self.use_window:
+            out = _window_unpartition(out, c.window, padded, (h, w))
+        out = nn.Dense(ch, dtype=c.dtype, name="proj")(out)
+        x = shortcut + out
+        y = LayerNorm(dtype=c.dtype, name="ln2")(x)
+        y = nn.Dense(4 * ch, dtype=c.dtype, name="mlp1")(y)
+        y = nn.gelu(y)
+        y = nn.Dense(ch, dtype=c.dtype, name="mlp2")(y)
+        return x + y
+
+
+class SAMImageEncoder(nn.Module):
+    """(B, S, S, 3) normalized pixels → (B, S/16, S/16, out_dim) embedding."""
+
+    cfg: SAMConfig = SAM_VIT_H
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        x = nn.Conv(c.enc_dim, (c.patch, c.patch), strides=(c.patch, c.patch),
+                    dtype=c.dtype, name="patch_embed")(x.astype(c.dtype))
+        hw = c.img_size // c.patch
+        pos = self.param("pos_emb", nn.initializers.normal(0.02),
+                         (hw, hw, c.enc_dim), jnp.float32)
+        x = x + pos[None].astype(c.dtype)
+        for i in range(c.enc_depth):
+            x = SAMEncBlock(c, use_window=i not in c.global_attn_idx,
+                            name=f"block_{i}")(x)
+        # neck: 1x1 → LN → 3x3 → LN, both bias-free (SAM convention)
+        x = nn.Conv(c.out_dim, (1, 1), use_bias=False, dtype=c.dtype, name="neck1")(x)
+        x = LayerNorm(dtype=c.dtype, name="neck_ln1")(x)
+        x = nn.Conv(c.out_dim, (3, 3), padding="SAME", use_bias=False,
+                    dtype=c.dtype, name="neck2")(x)
+        x = LayerNorm(dtype=c.dtype, name="neck_ln2")(x)
+        return x
+
+
+# ---- prompt encoder ------------------------------------------------------
+
+class SAMPromptEncoder(nn.Module):
+    """Boxes (B, N, 4) in [0, img_size] pixels → sparse prompt tokens
+    (B, 2N, out_dim) via random-Fourier positional encoding + corner-type
+    embeddings (prompt_encoder.py:16 semantics, boxes-only surface)."""
+
+    cfg: SAMConfig = SAM_VIT_H
+
+    @nn.compact
+    def __call__(self, boxes):
+        """Returns (sparse_tokens (B,2N,C), dense_pe_grid (h,w,C))."""
+        c = self.cfg
+        pe = self.param("pe_gaussian", nn.initializers.normal(1.0),
+                        (2, c.out_dim // 2), jnp.float32)
+        corner_emb = self.param("corner_emb", nn.initializers.normal(1.0),
+                                (2, c.out_dim), jnp.float32)
+        b, n, _ = boxes.shape
+        corners = boxes.reshape(b, n * 2, 2)  # (x1,y1),(x2,y2)
+        coords = (corners + 0.5) / c.img_size
+        proj = (2.0 * coords - 1.0) @ pe * (2 * jnp.pi)
+        emb = jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
+        types = jnp.tile(corner_emb, (n, 1))[None]
+
+        hw = c.img_size // c.patch
+        ys = (jnp.arange(hw, dtype=jnp.float32) + 0.5) / hw
+        xs = (jnp.arange(hw, dtype=jnp.float32) + 0.5) / hw
+        grid = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1)  # (h,w,2)
+        gproj = (2.0 * grid - 1.0) @ pe * (2 * jnp.pi)
+        dense = jnp.concatenate([jnp.sin(gproj), jnp.cos(gproj)], axis=-1)
+        return (emb + types).astype(jnp.float32), dense
+
+
+# ---- mask decoder --------------------------------------------------------
+
+class TwoWayBlock(nn.Module):
+    cfg: SAMConfig
+    skip_first_pe: bool = False
+
+    @nn.compact
+    def __call__(self, queries, keys, q_pe, k_pe):
+        c = self.cfg
+        hd = c.out_dim // c.dec_heads
+
+        def attn(name, q, k, v, downsample=1):
+            d = c.out_dim // downsample
+            h = c.dec_heads
+            qq = nn.Dense(d, dtype=c.dtype, name=f"{name}_q")(q)
+            kk = nn.Dense(d, dtype=c.dtype, name=f"{name}_k")(k)
+            vv = nn.Dense(d, dtype=c.dtype, name=f"{name}_v")(v)
+            sp = lambda t: t.reshape(t.shape[0], t.shape[1], h, d // h).transpose(0, 2, 1, 3)
+            out = attention_op(sp(qq), sp(kk), sp(vv))
+            out = out.transpose(0, 2, 1, 3).reshape(q.shape[0], q.shape[1], d)
+            return nn.Dense(c.out_dim, dtype=c.dtype, name=f"{name}_o")(out)
+
+        # self-attention on queries
+        q_in = queries if self.skip_first_pe else queries + q_pe
+        queries = queries + attn("self", q_in, q_in, queries)
+        queries = LayerNorm(dtype=c.dtype, name="ln1")(queries)
+        # cross: tokens → image
+        queries = queries + attn("t2i", queries + q_pe, keys + k_pe, keys,
+                                 downsample=2)
+        queries = LayerNorm(dtype=c.dtype, name="ln2")(queries)
+        # mlp
+        h = nn.Dense(c.out_dim * 8, dtype=c.dtype, name="mlp1")(queries)
+        queries = queries + nn.Dense(c.out_dim, dtype=c.dtype, name="mlp2")(nn.relu(h))
+        queries = LayerNorm(dtype=c.dtype, name="ln3")(queries)
+        # cross: image → tokens
+        keys = keys + attn("i2t", keys + k_pe, queries + q_pe, queries,
+                           downsample=2)
+        keys = LayerNorm(dtype=c.dtype, name="ln4")(keys)
+        return queries, keys
+
+
+class SAMMaskDecoder(nn.Module):
+    """(image_embedding, image_pe, prompt_tokens) → (masks, iou_scores).
+
+    masks: (B, num_mask_tokens, 4·h, 4·h) logits at 1/4 encoder stride.
+    """
+
+    cfg: SAMConfig = SAM_VIT_H
+
+    @nn.compact
+    def __call__(self, img_emb, img_pe, prompts):
+        c = self.cfg
+        b = img_emb.shape[0]
+        nt = c.num_mask_tokens
+        iou_tok = self.param("iou_token", nn.initializers.normal(1.0),
+                             (1, c.out_dim), jnp.float32)
+        mask_tok = self.param("mask_tokens", nn.initializers.normal(1.0),
+                              (nt, c.out_dim), jnp.float32)
+        toks = jnp.concatenate([iou_tok, mask_tok], axis=0)
+        toks = jnp.broadcast_to(toks[None], (b,) + toks.shape)
+        queries = jnp.concatenate([toks, prompts], axis=1)
+        q_pe = jnp.concatenate([jnp.zeros_like(toks), prompts], axis=1)
+
+        h, w = img_emb.shape[1], img_emb.shape[2]
+        keys = img_emb.reshape(b, h * w, c.out_dim)
+        k_pe = jnp.broadcast_to(img_pe.reshape(1, h * w, c.out_dim),
+                                keys.shape).astype(keys.dtype)
+
+        for i in range(c.dec_depth):
+            queries, keys = TwoWayBlock(c, skip_first_pe=(i == 0),
+                                        name=f"block_{i}")(queries, keys, q_pe, k_pe)
+        # final token→image attention
+        fq = nn.Dense(c.out_dim // 2, dtype=c.dtype, name="fin_q")(queries + q_pe)
+        fk = nn.Dense(c.out_dim // 2, dtype=c.dtype, name="fin_k")(keys + k_pe)
+        fv = nn.Dense(c.out_dim // 2, dtype=c.dtype, name="fin_v")(keys)
+        hn = c.dec_heads
+        sp = lambda t: t.reshape(b, t.shape[1], hn, -1).transpose(0, 2, 1, 3)
+        out = attention_op(sp(fq), sp(fk), sp(fv))
+        out = out.transpose(0, 2, 1, 3).reshape(b, queries.shape[1], -1)
+        queries = queries + nn.Dense(c.out_dim, dtype=c.dtype, name="fin_o")(out)
+        queries = LayerNorm(dtype=c.dtype, name="fin_ln")(queries)
+
+        # upscale image embedding 4x
+        src = keys.reshape(b, h, w, c.out_dim)
+        src = nn.ConvTranspose(c.out_dim // 4, (2, 2), strides=(2, 2),
+                               dtype=c.dtype, name="up1")(src)
+        src = LayerNorm(dtype=c.dtype, name="up_ln")(src)
+        src = nn.gelu(src)
+        src = nn.ConvTranspose(c.out_dim // 8, (2, 2), strides=(2, 2),
+                               dtype=c.dtype, name="up2")(src)
+        src = nn.gelu(src)
+
+        # hypernetwork per mask token
+        mask_q = queries[:, 1:1 + nt]
+        hyper = []
+        for i in range(nt):
+            hcur = mask_q[:, i]
+            for j in range(3):
+                dim = c.out_dim // 8 if j == 2 else c.out_dim
+                hcur = nn.Dense(dim, dtype=c.dtype, name=f"hyper_{i}_{j}")(hcur)
+                if j < 2:
+                    hcur = nn.relu(hcur)
+            hyper.append(hcur)
+        hyper = jnp.stack(hyper, axis=1)                      # (B, nt, C/8)
+        masks = jnp.einsum("bnc,bhwc->bnhw", hyper.astype(jnp.float32),
+                           src.astype(jnp.float32))
+
+        iou = queries[:, 0]
+        for j in range(3):
+            dim = nt if j == 2 else c.out_dim
+            iou = nn.Dense(dim, dtype=c.dtype, name=f"iou_{j}")(iou)
+            if j < 2:
+                iou = nn.relu(iou)
+        return masks, iou.astype(jnp.float32)
+
+
+# ---- assembled predictor -------------------------------------------------
+
+SAM_PIXEL_MEAN = jnp.array([123.675, 116.28, 103.53])
+SAM_PIXEL_STD = jnp.array([58.395, 57.12, 57.375])
+
+
+class SAM(nn.Module):
+    """End-to-end: pixels + boxes → per-box mask logits at img_size/4."""
+
+    cfg: SAMConfig = SAM_VIT_H
+
+    def setup(self):
+        self.encoder = SAMImageEncoder(self.cfg)
+        self.prompt = SAMPromptEncoder(self.cfg)
+        self.decoder = SAMMaskDecoder(self.cfg)
+
+    def encode(self, pixels):
+        return self.encoder(pixels)
+
+    def decode_boxes(self, img_emb, boxes):
+        """img_emb (B,h,w,C), boxes (B,N,4) → masks (B·N, nt, 4h, 4w), iou."""
+        b, n = boxes.shape[0], boxes.shape[1]
+        prompts, pe = self.prompt(boxes)                   # (B, 2N, C), (h,w,C)
+        prompts = prompts.reshape(b * n, 2, self.cfg.out_dim)
+        img = jnp.repeat(img_emb, n, axis=0)
+        return self.decoder(img, pe, prompts)
+
+    def __call__(self, pixels, boxes):
+        emb = self.encode(pixels)
+        return self.decode_boxes(emb, boxes)
+
+
+def preprocess_sam(img_u8: jnp.ndarray, cfg: SAMConfig = SAM_VIT_H) -> jnp.ndarray:
+    """uint8 RGB (H,W,3) → normalized (1,S,S,3) at the canonical bucket."""
+    from anyedit_tpu.ops.resize import resize_image
+    x = (img_u8.astype(jnp.float32) - SAM_PIXEL_MEAN) / SAM_PIXEL_STD
+    return resize_image(x, cfg.img_size, cfg.img_size, method="bilinear")[None]

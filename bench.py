@@ -1,0 +1,109 @@
+"""Factory benchmark: edited pairs/hour/chip at 512px, 50-step DDIM.
+
+Measures the flagship editing path — the fully-jitted InstructPix2Pix
+3-way-CFG DDIM loop (`anyedit_tpu.diffusion.ip2p_edit`) on the SD1.5-class
+UNet at 512×512 (64×64 latents, bf16) plus VAE encode/decode — with
+randomly initialized weights (throughput is weight-independent).
+
+Each denoise step is one jitted call (params traced, never baked as
+constants); steps chain data-dependently (x_{i+1} = f(x_i)), so the timing
+cannot be faked by async dispatch or remote-execution caching. (The fully
+fused `ip2p_edit` fori_loop is the production path, but this environment's
+remote-compile service is prohibitively slow on the 50-step program, so the
+benchmark uses the per-step compile unit.)
+
+Baseline: the reference pipeline (tools/global_tool.py DDIM loop) on A100.
+The repo publishes no throughput number (SURVEY.md §6), so the comparison
+point is the widely reproduced SD1.5 fp16+xformers A100 rate (~20
+UNet-fwd/s at 512px batch1 → ~7/s at batch-3 CFG): 50 steps + VAE ≈ 5.0 s
+per image ≈ 720 pairs/hour/A100.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+A100_BASELINE_PAIRS_PER_HOUR = 720.0
+STEPS = 50
+IMAGES_PER_BATCH = 4
+
+
+def main():
+    from anyedit_tpu.models.unet_sd import UNet2DCondition, SD15_IP2P_UNET
+    from anyedit_tpu.models.vae import AutoencoderKL, SD_VAE
+    from anyedit_tpu.schedulers import make_noise_schedule
+    from anyedit_tpu.diffusion import ip2p_edit
+
+    key = jax.random.key(0)
+    n = IMAGES_PER_BATCH
+    ns = make_noise_schedule()
+
+    unet = UNet2DCondition(SD15_IP2P_UNET)
+    xs = jnp.zeros((3 * n, 64, 64, 8), jnp.bfloat16)
+    ts = jnp.zeros((3 * n,), jnp.int32)
+    ctx3 = jnp.zeros((3 * n, 77, 768), jnp.bfloat16)
+    unet_params = jax.jit(unet.init)(key, xs, ts, ctx3)
+
+    vae = AutoencoderKL(SD_VAE)
+    px = jax.random.normal(jax.random.fold_in(key, 2),
+                           (n, 512, 512, 3), jnp.bfloat16)
+    vae_params = jax.jit(vae.init)(jax.random.fold_in(key, 1), px)
+
+    ctx = jnp.zeros((n, 77, 768), jnp.bfloat16)
+    from anyedit_tpu.schedulers import ddim_init, ddim_step
+    st = ddim_init(ns, STEPS)
+
+    @jax.jit
+    def encode(vae_params, pixels):
+        mean, _ = vae.apply(vae_params, pixels, method=AutoencoderKL.encode)
+        return mean * SD_VAE.scaling_factor
+
+    @jax.jit
+    def decode(vae_params, lat):
+        return vae.apply(vae_params, (lat / SD_VAE.scaling_factor).astype(jnp.bfloat16),
+                         method=AutoencoderKL.decode)
+
+    @jax.jit
+    def step(unet_params, lat, img_lat, i):
+        lat3 = jnp.concatenate([lat, lat, lat], axis=0)
+        img_cond = jnp.concatenate(
+            [img_lat, img_lat, jnp.zeros_like(img_lat)], axis=0)
+        eps3 = unet.apply(unet_params,
+                          jnp.concatenate([lat3, img_cond], axis=-1),
+                          jnp.full((3 * n,), st.timesteps[i]), ctx3)
+        e_full, e_img, e_unc = jnp.split(eps3, 3, axis=0)
+        eps = e_unc + 8.0 * (e_full - e_img) + 0.9 * (e_img - e_unc)
+        return ddim_step(ns, st, i, eps, lat)
+
+    def edit_batch(k):
+        img_lat = encode(vae_params, px)
+        lat = jax.random.normal(k, img_lat.shape, jnp.float32)
+        for i in range(STEPS):
+            lat = step(unet_params, lat, img_lat, jnp.asarray(i))
+        return decode(vae_params, lat)
+
+    out = edit_batch(key)  # compile all three programs
+    jax.block_until_ready(out)
+
+    best = float("inf")
+    for i in range(3):
+        t0 = time.perf_counter()
+        out = edit_batch(jax.random.fold_in(key, i))
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+
+    pairs_per_hour = 3600.0 / best * n
+    print(json.dumps({
+        "metric": "edited pairs/hour/chip (512px, 50-step DDIM, 3-way CFG IP2P)",
+        "value": round(pairs_per_hour, 1),
+        "unit": "pairs/hour/chip",
+        "vs_baseline": round(pairs_per_hour / A100_BASELINE_PAIRS_PER_HOUR, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from anyedit_tpu.models.swin import SwinTransformer, TINY_SWIN, SWIN_B
+from anyedit_tpu.models.bert import BertEncoder, TINY_BERT
+from anyedit_tpu.models.gdino import GroundingDINO, TINY_GDINO
+
+
+def _f32(cfg):
+    return dataclasses.replace(cfg, dtype=jnp.float32)
+
+
+def test_swin_multiscale_shapes():
+    cfg = _f32(TINY_SWIN)
+    model = SwinTransformer(cfg)
+    key = jax.random.key(0)
+    x = jax.random.normal(key, (1, 32, 32, 3))
+    params = model.init(key, x)
+    outs = model.apply(params, x)
+    assert set(outs) == {4, 8}
+    assert outs[4].shape == (1, 8, 8, 16)
+    assert outs[8].shape == (1, 4, 4, 32)
+    for v in outs.values():
+        assert bool(jnp.all(jnp.isfinite(v)))
+
+
+def test_swin_b_param_count():
+    model = SwinTransformer(SWIN_B)
+    x = jax.ShapeDtypeStruct((1, 384, 384, 3), jnp.float32)
+    shapes = jax.eval_shape(model.init, jax.random.key(0), x)
+    n = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(shapes))
+    assert 0.8e8 < n < 1.0e8, n  # Swin-B ≈ 88M
+
+
+def test_bert_mask_blocks_attention():
+    cfg = dataclasses.replace(TINY_BERT, dtype=jnp.float32)
+    model = BertEncoder(cfg)
+    key = jax.random.key(1)
+    ids = jnp.array([[1, 5, 9, 2, 0, 0, 0, 0]])
+    params = model.init(key, ids)
+    # mask padding keys: changing a masked token must not change real tokens
+    bias = jnp.where(jnp.arange(8) < 4, 0.0, -1e9)[None, None, None, :]
+    h1 = model.apply(params, ids, bias)
+    h2 = model.apply(params, ids.at[0, 6].set(99), bias)
+    np.testing.assert_allclose(np.asarray(h1[0, :4]), np.asarray(h2[0, :4]),
+                               atol=1e-5)
+
+
+def test_gdino_end_to_end():
+    cfg = dataclasses.replace(
+        TINY_GDINO,
+        swin=_f32(TINY_SWIN),
+        bert=dataclasses.replace(TINY_BERT, dtype=jnp.float32),
+        dtype=jnp.float32)
+    model = GroundingDINO(cfg)
+    key = jax.random.key(2)
+    px = jax.random.normal(key, (1, 32, 32, 3))
+    ids = jnp.array([[1, 5, 9, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]])
+    mask = jnp.arange(16)[None] < 4
+    params = model.init(key, px, ids, mask)
+    logits, boxes = model.apply(params, px, ids, mask)
+    assert logits.shape == (1, cfg.num_queries, 16)
+    assert boxes.shape == (1, cfg.num_queries, 4)
+    assert bool(jnp.all((boxes >= 0) & (boxes <= 1)))
+    # masked text positions get -inf-ish logits
+    assert float(jnp.max(logits[:, :, 4:])) < -1e8
+    assert float(jnp.max(logits[:, :, :4])) > -1e8
+    assert bool(jnp.all(jnp.isfinite(boxes)))
+
+
+def test_gdino_text_sensitivity():
+    cfg = dataclasses.replace(
+        TINY_GDINO,
+        swin=_f32(TINY_SWIN),
+        bert=dataclasses.replace(TINY_BERT, dtype=jnp.float32),
+        dtype=jnp.float32)
+    model = GroundingDINO(cfg)
+    key = jax.random.key(3)
+    px = jax.random.normal(key, (1, 32, 32, 3))
+    ids1 = jnp.array([[1, 5, 9, 2] + [0] * 12])
+    ids2 = jnp.array([[1, 77, 42, 2] + [0] * 12])
+    mask = jnp.arange(16)[None] < 4
+    params = model.init(key, px, ids1, mask)
+    l1, b1 = model.apply(params, px, ids1, mask)
+    l2, b2 = model.apply(params, px, ids2, mask)
+    assert float(jnp.max(jnp.abs(l1[:, :, :4] - l2[:, :, :4]))) > 1e-5

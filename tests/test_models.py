@@ -1,0 +1,140 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from anyedit_tpu.models import (
+    UNet2DCondition, TINY_UNET, SD15_UNET,
+    AutoencoderKL, TINY_VAE,
+    CLIPTextEncoder, TINY_TEXT,
+)
+from anyedit_tpu.models.clip import CLIPVisionEncoder, TINY_VISION
+from anyedit_tpu.models.unet_sd import UNetConfig
+import dataclasses
+
+
+def _f32(cfg):
+    return dataclasses.replace(cfg, dtype=jnp.float32)
+
+
+def test_unet_shapes_and_grad_path():
+    cfg = _f32(TINY_UNET)
+    model = UNet2DCondition(cfg)
+    key = jax.random.key(0)
+    x = jax.random.normal(key, (2, 16, 16, 4))
+    t = jnp.array([10, 500])
+    ctx = jax.random.normal(key, (2, 8, cfg.context_dim))
+    params = model.init(key, x, t, ctx)
+    out = model.apply(params, x, t, ctx)
+    assert out.shape == (2, 16, 16, 4)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_unet_processor_slot_visits_sites():
+    cfg = _f32(TINY_UNET)
+    model = UNet2DCondition(cfg)
+    key = jax.random.key(1)
+    x = jax.random.normal(key, (1, 8, 8, 4))
+    t = jnp.array([3])
+    ctx = jax.random.normal(key, (1, 4, cfg.context_dim))
+    params = model.init(key, x, t, ctx)
+
+    seen = []
+
+    def proc(q, k, v, meta, extra):
+        seen.append((meta.name, meta.is_self))
+        from anyedit_tpu.ops.attention import sdpa_xla
+        return sdpa_xla(q, k, v)
+
+    model.apply(params, x, t, ctx, processor=proc)
+    names = [n for n, _ in seen]
+    assert any(n.startswith("down_0") for n in names)
+    assert any(n.startswith("mid") for n in names)
+    assert any(n.startswith("up_0") for n in names)
+    assert any(s for _, s in seen) and any(not s for _, s in seen)
+
+    # a processor that zeroes attention must change the output
+    out_def = model.apply(params, x, t, ctx)
+    out_zero = model.apply(params, x, t, ctx,
+                           processor=lambda q, k, v, m, e: jnp.zeros_like(q))
+    assert float(jnp.max(jnp.abs(out_def - out_zero))) > 1e-6
+
+
+def test_unet_controlnet_residual_plumbing():
+    cfg = _f32(TINY_UNET)
+    model = UNet2DCondition(cfg)
+    key = jax.random.key(2)
+    x = jax.random.normal(key, (1, 8, 8, 4))
+    t = jnp.array([3])
+    ctx = jax.random.normal(key, (1, 4, cfg.context_dim))
+    params = model.init(key, x, t, ctx)
+    # capture skip shapes by running once with zeros residuals of right shapes:
+    # n_skips = 1 (conv_in) + levels*layers + (levels-1) downsamples
+    levels = len(cfg.block_channels)
+    shapes = []
+    h, w = 8, 8
+    shapes.append((1, h, w, cfg.block_channels[0]))
+    for lvl, ch in enumerate(cfg.block_channels):
+        for _ in range(cfg.layers_per_block):
+            shapes.append((1, h, w, ch))
+        if lvl != levels - 1:
+            h, w = h // 2, w // 2
+            shapes.append((1, h, w, ch))
+    residuals = [jnp.ones(s) for s in shapes]
+    mid = jnp.ones((1, h, w, cfg.block_channels[-1]))
+    out0 = model.apply(params, x, t, ctx)
+    out1 = model.apply(params, x, t, ctx, controlnet_residuals=residuals,
+                       controlnet_mid=mid)
+    assert out0.shape == out1.shape
+    assert float(jnp.max(jnp.abs(out0 - out1))) > 1e-6
+
+
+def test_sd15_unet_param_count():
+    # structural sanity without materializing 860M params
+    model = UNet2DCondition(SD15_UNET)
+    x = jax.ShapeDtypeStruct((1, 64, 64, 4), jnp.float32)
+    t = jax.ShapeDtypeStruct((1,), jnp.int32)
+    ctx = jax.ShapeDtypeStruct((1, 77, 768), jnp.float32)
+    shapes = jax.eval_shape(model.init, jax.random.key(0), x, t, ctx)
+    n = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(shapes))
+    assert 0.75e9 < n < 1.0e9, n  # SD1.5 UNet ≈ 0.86B
+
+
+def test_vae_roundtrip_shapes():
+    cfg = dataclasses.replace(TINY_VAE, dtype=jnp.float32)
+    model = AutoencoderKL(cfg)
+    key = jax.random.key(3)
+    x = jax.random.normal(key, (1, 32, 32, 3))
+    params = model.init(key, x, method=None)
+    mean, logvar = model.apply(params, x, method=model.encode)
+    assert mean.shape == (1, 16, 16, cfg.latent_channels)
+    rec = model.apply(params, mean, method=model.decode)
+    assert rec.shape == (1, 32, 32, 3)
+    assert bool(jnp.all(jnp.isfinite(rec)))
+
+
+def test_clip_text_causality_and_pool():
+    cfg = TINY_TEXT
+    model = CLIPTextEncoder(dataclasses.replace(cfg, dtype=jnp.float32))
+    key = jax.random.key(4)
+    ids = jnp.array([[1, 5, 9, 200, 3, 0, 0, 0]])
+    params = model.init(key, ids)
+    h1, p1 = model.apply(params, ids)
+    ids2 = ids.at[0, 6].set(77)  # change a LATER token
+    h2, p2 = model.apply(params, ids2)
+    np.testing.assert_allclose(np.asarray(h1[0, :5]), np.asarray(h2[0, :5]),
+                               atol=1e-5)
+    # pooled = EOS position (argmax id = 200 at pos 3)
+    assert p1.shape == (1, cfg.hidden)
+    np.testing.assert_allclose(np.asarray(p1[0]), np.asarray(h1[0, 3]), atol=1e-6)
+
+
+def test_clip_vision_shapes():
+    cfg = dataclasses.replace(TINY_VISION, dtype=jnp.float32)
+    model = CLIPVisionEncoder(cfg)
+    key = jax.random.key(5)
+    px = jax.random.normal(key, (2, 32, 32, 3))
+    params = model.init(key, px)
+    toks, z = model.apply(params, px)
+    assert toks.shape == (2, 17, cfg.hidden)
+    assert z.shape == (2, cfg.proj_dim)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(z), axis=-1), 1.0, atol=1e-5)
