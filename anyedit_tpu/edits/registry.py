@@ -2,10 +2,18 @@
 
 from __future__ import annotations
 
-from anyedit_tpu.edits import geometry, global_, local, outpainting
+from anyedit_tpu.edits import geometry, global_, local, outpainting, visual
 from anyedit_tpu.edits.types import Pipeline
 
 EDIT_PIPELINES: dict[str, Pipeline] = {
+    "visual_bbox": visual.visual_condition,
+    "visual_depth": visual.visual_condition,
+    "visual_scribble": visual.visual_condition,
+    "visual_segment": visual.visual_condition,
+    "visual_sketch": visual.visual_condition,
+    "visual_reference": visual.visual_reference,
+    "visual_material_transfer": visual.material_transfer,
+    "material_transfer": visual.material_transfer,
     "add": local.add,
     "remove": local.remove,
     "counting": local.remove,

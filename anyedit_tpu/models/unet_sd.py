@@ -33,23 +33,44 @@ class UNetConfig:
     block_channels: tuple[int, ...] = (320, 640, 1280, 1280)
     layers_per_block: int = 2
     attn_levels: tuple[bool, ...] = (True, True, True, False)
-    transformer_depth: int = 1
+    transformer_depth: int | tuple[int, ...] = 1   # per-level for SDXL
     num_head_channels: int = 40          # SD1.5: heads = C / 40... actually 8 heads
     context_dim: int = 768
     time_embed_mult: int = 4
     num_groups: int = 32
+    # SDXL micro-conditioning: pooled text emb (addition_embed_dim) + 6 time
+    # ids, fourier-embedded and added to the time embedding.
+    addition_embed_dim: int = 0
+    addition_time_dim: int = 0
     dtype: Any = jnp.bfloat16
 
     def heads(self, channels: int) -> int:
         return max(1, channels // self.num_head_channels)
 
+    def depth_at(self, level: int) -> int:
+        if isinstance(self.transformer_depth, tuple):
+            return self.transformer_depth[level]
+        return self.transformer_depth
+
 
 SD15_UNET = UNetConfig()
 SD15_IP2P_UNET = dataclasses.replace(SD15_UNET, in_channels=8)
 SD15_INPAINT_UNET = dataclasses.replace(SD15_UNET, in_channels=9)
+# SDXL-base: 3 levels, depths (0,2,10), 2048-dim context, 64-ch heads,
+# micro-conditioning on pooled OpenCLIP-bigG (1280) + 6 size/crop time ids.
+SDXL_UNET = UNetConfig(block_channels=(320, 640, 1280),
+                       attn_levels=(False, True, True),
+                       transformer_depth=(0, 2, 10),
+                       num_head_channels=64, context_dim=2048,
+                       addition_embed_dim=1280, addition_time_dim=6)
+SDXL_INPAINT_UNET = dataclasses.replace(SDXL_UNET, in_channels=9)
 TINY_UNET = UNetConfig(block_channels=(32, 64), attn_levels=(True, False),
                        num_head_channels=8, context_dim=32, num_groups=8,
                        layers_per_block=1)
+TINY_XL_UNET = UNetConfig(block_channels=(32, 64), attn_levels=(False, True),
+                          transformer_depth=(0, 2), num_head_channels=8,
+                          context_dim=32, num_groups=8, layers_per_block=1,
+                          addition_embed_dim=16, addition_time_dim=6)
 
 
 class ResBlock(nn.Module):
@@ -97,6 +118,7 @@ class TransformerBlock(nn.Module):
 class SpatialTransformer(nn.Module):
     cfg: UNetConfig
     name_tag: str
+    depth: int = 1
 
     @nn.compact
     def __call__(self, x, context, processor=None, extra=None):
@@ -107,7 +129,7 @@ class SpatialTransformer(nn.Module):
         x = GroupNorm(c.num_groups, dtype=c.dtype, name="norm")(x)
         x = nn.Conv(ch, (1, 1), dtype=c.dtype, name="proj_in")(x)
         x = x.reshape(b, hh * ww, ch)
-        for d in range(c.transformer_depth):
+        for d in range(self.depth):
             x = TransformerBlock(c, heads, f"{self.name_tag}.tb{d}",
                                  name=f"block_{d}")(x, context, processor, extra)
         x = x.reshape(b, hh, ww, ch)
@@ -125,7 +147,9 @@ class UNet2DCondition(nn.Module):
                  processor: Optional[AttnProcessor] = None,
                  extra: Optional[dict] = None,
                  controlnet_residuals: Optional[Sequence[jnp.ndarray]] = None,
-                 controlnet_mid: Optional[jnp.ndarray] = None):
+                 controlnet_mid: Optional[jnp.ndarray] = None,
+                 pooled_text: Optional[jnp.ndarray] = None,
+                 time_ids: Optional[jnp.ndarray] = None):
         c = self.cfg
         ch0 = c.block_channels[0]
         temb_dim = ch0 * c.time_embed_mult
@@ -135,6 +159,18 @@ class UNet2DCondition(nn.Module):
         temb = timestep_embedding(t, ch0)
         temb = nn.Dense(temb_dim, dtype=c.dtype, name="time_fc1")(temb)
         temb = nn.Dense(temb_dim, dtype=c.dtype, name="time_fc2")(nn.silu(temb))
+        if c.addition_embed_dim:
+            # SDXL micro-conditioning: fourier-embed each time id, concat
+            # with the pooled text embedding, project into the time channel.
+            assert pooled_text is not None and time_ids is not None
+            b = x.shape[0]
+            tid = timestep_embedding(time_ids.reshape(-1), 256)
+            tid = tid.reshape(b, c.addition_time_dim * 256)
+            add = jnp.concatenate([pooled_text.astype(c.dtype),
+                                   tid.astype(c.dtype)], axis=-1)
+            add = nn.Dense(temb_dim, dtype=c.dtype, name="add_fc1")(add)
+            add = nn.Dense(temb_dim, dtype=c.dtype, name="add_fc2")(nn.silu(add))
+            temb = temb + add
 
         h = Conv3x3(ch0, dtype=c.dtype, name="conv_in")(x)
         skips = [h]
@@ -145,6 +181,7 @@ class UNet2DCondition(nn.Module):
                 h = ResBlock(ch, c, name=f"down_{lvl}_res_{i}")(h, temb)
                 if c.attn_levels[lvl]:
                     h = SpatialTransformer(c, f"down_{lvl}.tf_{i}",
+                                           depth=c.depth_at(lvl),
                                            name=f"down_{lvl}_tf_{i}")(
                         h, context, processor, extra)
                 skips.append(h)
@@ -155,7 +192,9 @@ class UNet2DCondition(nn.Module):
         # mid
         mid_ch = c.block_channels[-1]
         h = ResBlock(mid_ch, c, name="mid_res_0")(h, temb)
-        h = SpatialTransformer(c, "mid.tf", name="mid_tf")(h, context, processor, extra)
+        h = SpatialTransformer(c, "mid.tf",
+                               depth=c.depth_at(len(c.block_channels) - 1),
+                               name="mid_tf")(h, context, processor, extra)
         h = ResBlock(mid_ch, c, name="mid_res_1")(h, temb)
         if controlnet_mid is not None:
             h = h + controlnet_mid.astype(c.dtype)
@@ -176,6 +215,7 @@ class UNet2DCondition(nn.Module):
                 h = ResBlock(ch, c, name=f"up_{lvl}_res_{i}")(h, temb)
                 if c.attn_levels[lvl]:
                     h = SpatialTransformer(c, f"up_{lvl}.tf_{i}",
+                                           depth=c.depth_at(lvl),
                                            name=f"up_{lvl}_tf_{i}")(
                         h, context, processor, extra)
             if lvl != 0:

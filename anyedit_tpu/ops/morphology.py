@@ -62,12 +62,16 @@ def gaussian_blur(img: jnp.ndarray, sigma: float, radius: int | None = None) -> 
     x = img.astype(jnp.float32)
     lead = x.shape[:-2]
     h, w = x.shape[-2:]
+    # reflect-pad before VALID conv — zero padding would fabricate gradients
+    # at image borders (cv2.GaussianBlur parity)
     xf = x.reshape((-1, 1, h, w))
+    xf = jnp.pad(xf, ((0, 0), (0, 0), (radius, radius), (radius, radius)),
+                 mode="reflect")
     kv = k.reshape(1, 1, -1, 1)
     kh = k.reshape(1, 1, 1, -1)
     dn = jax.lax.conv_dimension_numbers(xf.shape, kv.shape, ("NCHW", "OIHW", "NCHW"))
-    xf = jax.lax.conv_general_dilated(xf, kv, (1, 1), [(radius, radius), (0, 0)], dimension_numbers=dn)
-    xf = jax.lax.conv_general_dilated(xf, kh, (1, 1), [(0, 0), (radius, radius)], dimension_numbers=dn)
+    xf = jax.lax.conv_general_dilated(xf, kv, (1, 1), "VALID", dimension_numbers=dn)
+    xf = jax.lax.conv_general_dilated(xf, kh, (1, 1), "VALID", dimension_numbers=dn)
     return xf.reshape(lead + (h, w)).astype(orig_dtype)
 
 
