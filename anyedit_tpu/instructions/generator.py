@@ -1,0 +1,127 @@
+"""Instruction generation harness + rule-based generators.
+
+Mirror of the reference L2 layer (edit_instruction/instruction_gen.py:76-174
+batch loop with self-check; other_instruction_gen.py rule generators),
+backend-agnostic: any `llm(prompts: list[str]) -> list[str]` plugs in —
+a local transformers model, a JAX-served LLM, or the deterministic
+`TemplateBackend` used for hermetic tests and dry runs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import random
+import re
+from typing import Callable, Iterable, Sequence
+
+from anyedit_tpu.core.schema import InstructionRecord
+from anyedit_tpu.grounding.tags import generate_tags
+from anyedit_tpu.instructions.prompts import eval_prompt, few_shot_prompt
+
+LLMFn = Callable[[list[str]], list[str]]
+
+NUMBER_WORDS = {2: "two", 3: "three", 4: "four", 5: "five", 6: "six"}
+
+
+class TemplateBackend:
+    """Deterministic offline stand-in LLM: answers the few-shot format by
+    template substitution; answers eval prompts with 'yes'."""
+
+    def __call__(self, prompts: list[str]) -> list[str]:
+        outs = []
+        for p in prompts:
+            if p.rstrip().endswith("Answer yes or no."):
+                outs.append("yes")
+                continue
+            m = re.findall(r"caption: (.+)", p)
+            caption = m[-1] if m else "a scene"
+            tags = generate_tags(caption)
+            obj = tags["nouns"][0] if tags["nouns"] else "object"
+            outs.append(f"instruction: remove the {obj}\nobject: {obj}\n"
+                        f"output: {caption.replace(obj, '').strip()}")
+        return outs
+
+
+def parse_generation(text: str) -> dict[str, str] | None:
+    m = re.search(r"instruction:\s*(.+)", text)
+    o = re.search(r"object:\s*(.+)", text)
+    out = re.search(r"output:\s*(.+)", text)
+    if not (m and out):
+        return None
+    obj = o.group(1).strip() if o else "none"
+    return {"edit": m.group(1).strip(),
+            "edited_object": None if obj.lower() == "none" else obj,
+            "output": out.group(1).strip()}
+
+
+@dataclasses.dataclass
+class InstructionGenerator:
+    llm: LLMFn
+    seed: int = 0
+    self_check: bool = True
+
+    def generate(self, edit_type: str, captions: Sequence[str],
+                 batch_size: int = 16) -> list[InstructionRecord]:
+        rng = random.Random(self.seed)
+        records: list[InstructionRecord] = []
+        for i in range(0, len(captions), batch_size):
+            batch = captions[i:i + batch_size]
+            prompts = [few_shot_prompt(edit_type, c, rng) for c in batch]
+            raw = self.llm(prompts)
+            parsed = [(c, parse_generation(r)) for c, r in zip(batch, raw)]
+            parsed = [(c, p) for c, p in parsed if p is not None]
+            if self.self_check and parsed:
+                checks = self.llm([eval_prompt(edit_type, c, p["edit"],
+                                               p["output"])
+                                   for c, p in parsed])
+                parsed = [cp for cp, ans in zip(parsed, checks)
+                          if ans.strip().lower().startswith("yes")]
+            for caption, p in parsed:
+                records.append(InstructionRecord(
+                    edit=p["edit"], input=caption, output=p["output"],
+                    edit_type=edit_type, edited_object=p["edited_object"]))
+        return records
+
+
+# ---- rule-based generators (other_instruction_gen.py:55-312) -------------
+
+def rule_based_counting(caption: str, obj: str, count: int,
+                        rng: random.Random) -> InstructionRecord:
+    remove_n = rng.randint(1, max(1, count - 1))
+    left = count - remove_n
+    word = NUMBER_WORDS.get(remove_n, str(remove_n))
+    left_word = NUMBER_WORDS.get(left, str(left)) if left > 1 else "one"
+    return InstructionRecord(
+        edit=f"remove {word} of the {obj}s", input=caption,
+        output=f"{left_word} {obj}{'s' if left > 1 else ''}",
+        edit_type="counting", edited_object=obj,
+        remove_number=remove_n)
+
+
+def rule_based_resize_movement(caption: str, obj: str, kind: str,
+                               rng: random.Random) -> InstructionRecord:
+    assert kind in ("resize", "movement")
+    if kind == "resize":
+        word = rng.choice(["bigger", "smaller"])
+        edit = f"make the {obj} {word}"
+    else:
+        word = rng.choice(["left", "right"])
+        edit = f"move the {obj} to the {word}"
+    return InstructionRecord(edit=edit, input=caption, output=caption,
+                             edit_type=kind, edited_object=obj)
+
+
+def rule_based_relation(caption: str, obj_a: str, obj_b: str) -> InstructionRecord:
+    return InstructionRecord(
+        edit=f"swap the positions of the {obj_a} and the {obj_b}",
+        input=caption, output=caption, edit_type="relation",
+        edited_object=obj_a, new_object=obj_b)
+
+
+def rule_based_visual_reference(caption: str, obj: str, ref_object: str,
+                                visual_path: str) -> InstructionRecord:
+    return InstructionRecord(
+        edit=f"replace the {obj} with the object in the reference image",
+        input=caption, output=caption.replace(obj, ref_object),
+        edit_type="visual_reference", edited_object=obj,
+        ref_object=ref_object, visual_input=visual_path)

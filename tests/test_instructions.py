@@ -1,0 +1,91 @@
+import random
+
+from anyedit_tpu.instructions.generator import (
+    InstructionGenerator, TemplateBackend, parse_generation,
+    rule_based_counting, rule_based_resize_movement, rule_based_relation,
+    rule_based_visual_reference,
+)
+from anyedit_tpu.instructions.prompts import (
+    FEW_SHOT_BANK, few_shot_prompt, eval_prompt, system_prompt,
+)
+from anyedit_tpu.instructions.captions import caption_from_concept
+
+
+def test_prompt_bank_coverage():
+    for t, bank in FEW_SHOT_BANK.items():
+        assert len(bank) == 5, t
+        for inp, edit, obj, out in bank:
+            assert inp and edit and out
+    p = few_shot_prompt("remove", "a cat on a mat", random.Random(0))
+    # 5 shots + the format spec line in the system prompt
+    assert p.count("instruction:") == 6
+    assert p.count("caption:") == 6  # 5 shots + the query caption
+    assert p.strip().endswith("caption: a cat on a mat")
+    assert "yes or no" in eval_prompt("add", "c", "i", "o")
+
+
+def test_parse_generation():
+    good = "instruction: remove the cat\nobject: cat\noutput: a mat"
+    p = parse_generation(good)
+    assert p == {"edit": "remove the cat", "edited_object": "cat",
+                 "output": "a mat"}
+    assert parse_generation("garbage") is None
+    none_obj = parse_generation("instruction: x\nobject: none\noutput: y")
+    assert none_obj["edited_object"] is None
+
+
+def test_generator_end_to_end_with_template_backend():
+    gen = InstructionGenerator(llm=TemplateBackend(), seed=0)
+    caps = ["a red bicycle near a wall", "a dog under a tree"]
+    recs = gen.generate("remove", caps)
+    assert len(recs) == 2
+    assert all(r.edit_type == "remove" for r in recs)
+    assert recs[0].input == caps[0]
+    assert recs[0].edited_object in recs[0].edit
+    # to_json round-trips through the universal schema
+    assert recs[0].to_json()["edit_type"] == "remove"
+
+
+def test_generator_self_check_filters():
+    class NoBackend(TemplateBackend):
+        def __call__(self, prompts):
+            outs = super().__call__(prompts)
+            return ["no" if p.rstrip().endswith("Answer yes or no.") else o
+                    for p, o in zip(prompts, outs)]
+
+    gen = InstructionGenerator(llm=NoBackend(), seed=0)
+    recs = gen.generate("remove", ["a dog under a tree"])
+    assert recs == []  # everything rejected by the self-check
+
+
+def test_rule_based_generators():
+    rng = random.Random(0)
+    r = rule_based_counting("five apples on a table", "apple", 5, rng)
+    assert r.edit_type == "counting" and 1 <= r.remove_number <= 4
+    assert "remove" in r.edit
+
+    r2 = rule_based_resize_movement("a dog", "dog", "movement", rng)
+    assert r2.edit_type == "movement" and ("left" in r2.edit or "right" in r2.edit)
+    r3 = rule_based_resize_movement("a dog", "dog", "resize", rng)
+    assert "bigger" in r3.edit or "smaller" in r3.edit
+
+    r4 = rule_based_relation("a cat and a dog", "cat", "dog")
+    assert "swap" in r4.edit and r4.new_object == "dog"
+
+    r5 = rule_based_visual_reference("a cat on a mat", "cat", "plush bear",
+                                     "ref/bear.jpg")
+    assert r5.visual_input == "ref/bear.jpg" and r5.ref_object == "plush bear"
+
+
+def test_caption_from_concept_modes():
+    c1 = caption_from_concept("fox")
+    assert "fox" in c1
+    c2 = caption_from_concept("fox", background="a snowy forest")
+    assert "fox" in c2 and "snowy forest" in c2
+    c3 = caption_from_concept("fox", concept2="owl")
+    assert "fox" in c3 and "owl" in c3
+    # deterministic
+    assert caption_from_concept("fox", seed=1) == caption_from_concept("fox", seed=1)
+    # llm-backed path
+    c4 = caption_from_concept("fox", llm=lambda ps: ["a curious fox at dusk"])
+    assert c4 == "a curious fox at dusk"
