@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from anyedit_tpu.edits import geometry, global_, local, outpainting, visual
+from anyedit_tpu.edits import geometry, global_, implicit, local, outpainting, visual
 from anyedit_tpu.edits.types import Pipeline
 
 EDIT_PIPELINES: dict[str, Pipeline] = {
@@ -27,6 +27,8 @@ EDIT_PIPELINES: dict[str, Pipeline] = {
     "movement": geometry.resize_movement,
     "relation": geometry.relation_change,
     "outpainting": outpainting.outpainting,
+    "implicit_change": implicit.implicit_change,
+    "style_change": implicit.style_change,
 }
 
 

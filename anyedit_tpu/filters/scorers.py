@@ -48,6 +48,34 @@ def cosine_similarity(a: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-8) -> jnp.
     return jnp.sum(an * bn, axis=-1)
 
 
+def ssim(img_a: jnp.ndarray, img_b: jnp.ndarray, max_val: float = 1.0,
+         sigma: float = 1.5) -> jnp.ndarray:
+    """Mean SSIM over (..., H, W, C) images in [0, max_val] — the implicit
+    pipeline's best-of-N consistency score (implicit_tool.py:34-127)."""
+    from anyedit_tpu.ops.morphology import gaussian_blur
+
+    a = jnp.moveaxis(img_a.astype(jnp.float32), -1, 0)  # (C, ..., H, W)
+    b = jnp.moveaxis(img_b.astype(jnp.float32), -1, 0)
+    mu_a = gaussian_blur(a, sigma)
+    mu_b = gaussian_blur(b, sigma)
+    var_a = gaussian_blur(a * a, sigma) - mu_a * mu_a
+    var_b = gaussian_blur(b * b, sigma) - mu_b * mu_b
+    cov = gaussian_blur(a * b, sigma) - mu_a * mu_b
+    c1 = (0.01 * max_val) ** 2
+    c2 = (0.03 * max_val) ** 2
+    s = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)) / (
+        (mu_a * mu_a + mu_b * mu_b + c1) * (var_a + var_b + c2))
+    return jnp.mean(s, axis=(0, -2, -1))
+
+
+def ocr_text_match(text_a: str, text_b: str) -> bool:
+    """GOT-OCR2 both-sides text check (post_filter.py:70-79 surface):
+    normalized string equality of the OCR'd target strings."""
+    import re
+    norm = lambda s: re.sub(r"[^a-z0-9]", "", s.lower())
+    return norm(text_a) == norm(text_b) and len(norm(text_a)) > 0
+
+
 class AestheticMLP(nn.Module):
     """The LAION aesthetic predictor head (pre_filter.py:38-81):
     768-dim CLIP-L image embedding → scalar score, trained weights

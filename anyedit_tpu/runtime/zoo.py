@@ -238,9 +238,114 @@ class ModelZoo:
             return edit
         return self._get("ip2p", build)
 
+    # ---- AnyDoor (ControlLDM: SD UNet + ControlNet + DINOv2 cond) -------
+    def anydoor(self):
+        """visual_reference runner: (target, mask, collage, hf_map, ref_image)
+        → edited image. ControlNet hint = collage ⊕ HF map ⊕ mask; context =
+        DINOv2 reference embedding projected to the UNet context width
+        (reference cldm/cldm.py:307 + ldm encoders modules.py:279)."""
+        def build():
+            import dataclasses as dc
+            from anyedit_tpu.models.controlnet import ControlNet
+            from anyedit_tpu.models.dinov2 import DinoV2, DINOV2_L
+            from anyedit_tpu.schedulers import ddim_init, ddim_step
+            from flax import linen as nn
+
+            c = self.cfg
+            unet_cfg = dc.replace(c.ip2p_unet, in_channels=4)
+            unet = UNet2DCondition(unet_cfg)
+            cn = ControlNet(unet_cfg)
+            dino_cfg = DINOV2_L if self.weights else dc.replace(
+                DINOV2_L, img_size=56, depth=2, dim=64, heads=2)
+            dino = DinoV2(dino_cfg)
+
+            size = c.canvas.edit_size
+            hw = size // c.canvas.latent_down
+            x = jnp.zeros((2, hw, hw, 4), jnp.bfloat16)
+            t = jnp.zeros((2,), jnp.int32)
+            ctx = jnp.zeros((2, 2, unet_cfg.context_dim), jnp.bfloat16)
+            hint_size = hw * 8  # hint enters at 8x latent res (cldm convention)
+            hint = jnp.zeros((2, hint_size, hint_size, 5), jnp.float32)
+            up = load_params(unet, (x, t, ctx), self._wf("unet_anydoor"), self.seed)
+            cp = load_params(cn, (x, t, ctx, hint), self._wf("controlnet_anydoor"),
+                             self.seed)
+            dpx = jnp.zeros((1, dino_cfg.img_size, dino_cfg.img_size, 3),
+                            jnp.float32)
+            dp = load_params(dino, (dpx,), self._wf("dinov2"), self.seed)
+
+            class _Proj(nn.Module):
+                @nn.compact
+                def __call__(self, e):
+                    return nn.Dense(unet_cfg.context_dim, dtype=jnp.float32)(e)
+
+            proj = _Proj()
+            pp = load_params(proj, (jnp.zeros((1, dino_cfg.dim)),),
+                             self._wf("anydoor_proj"), self.seed)
+            ns = make_noise_schedule()
+            enc, dec = self._vae()
+            import functools
+
+            @functools.partial(jax.jit, static_argnames=("steps",))
+            def sample(up, cp, lat0, ctx2, hint2, k, steps, cfg_scale):
+                st = ddim_init(ns, steps)
+                lat = jax.random.normal(k, lat0.shape, jnp.float32)
+
+                def body(i, lat):
+                    lat2 = jnp.concatenate([lat, lat], axis=0)
+                    res, mid = cn.apply(cp, lat2, jnp.full((2,), st.timesteps[i]),
+                                        ctx2, hint2)
+                    eps2 = unet.apply(up, lat2, jnp.full((2,), st.timesteps[i]),
+                                      ctx2, controlnet_residuals=res,
+                                      controlnet_mid=mid)
+                    e_c, e_u = jnp.split(eps2, 2, axis=0)
+                    eps = e_u + cfg_scale * (e_c - e_u)
+                    return ddim_step(ns, st, i, eps, lat)
+
+                return jax.lax.fori_loop(0, steps, body, lat)
+
+            def run(target_u8, mask, collage_u8, hf_map, ref_u8,
+                    steps: int = 50, cfg_scale: float = 9.0, seed: int = 0):
+                ref = resize_image(jnp.asarray(ref_u8, jnp.float32) / 255.0,
+                                   dino_cfg.img_size, dino_cfg.img_size,
+                                   "bilinear")
+                ref = imagenet_normalize(ref)[None]
+                demb = dino.apply(dp, ref)["cls"]
+                ctx1 = proj.apply(pp, demb)[:, None, :]           # (1,1,C)
+                ctx1 = jnp.tile(ctx1, (1, 2, 1)).astype(jnp.bfloat16)
+                ctx2 = jnp.concatenate([ctx1, jnp.zeros_like(ctx1)], axis=0)
+                col = resize_image(jnp.asarray(collage_u8, jnp.float32) / 255.0,
+                                   hint_size, hint_size, "bilinear")
+                hfm = resize_image(jnp.asarray(hf_map, jnp.float32)[..., None],
+                                   hint_size, hint_size, "bilinear")
+                mk = resize_image(jnp.asarray(mask, jnp.float32)[..., None],
+                                  hint_size, hint_size, "nearest")
+                hint1 = jnp.concatenate([col, hfm / 255.0, mk], axis=-1)[None]
+                hint2 = jnp.concatenate([hint1, hint1], axis=0)
+                img = resize_image(jnp.asarray(target_u8, jnp.float32),
+                                   size, size, "lanczos")
+                lat0 = enc(normalize_to_unit(img)[None].astype(jnp.bfloat16)
+                           )[0] * c.vae.scaling_factor
+                out = sample(up, cp, lat0, ctx2, hint2, jax.random.key(seed),
+                             steps, cfg_scale)
+                dec_img = dec((out / c.vae.scaling_factor).astype(jnp.bfloat16))[0]
+                u8 = denormalize_to_u8(dec_img)
+                h0, w0 = target_u8.shape[:2]
+                full = resize_image(u8.astype(jnp.float32), h0, w0, "lanczos")
+                # paste only the masked region back onto the target (crop_back,
+                # visual_reference_tool.py:143-165)
+                m = jnp.asarray(mask, jnp.float32)[..., None]
+                out_img = full * m + jnp.asarray(target_u8, jnp.float32) * (1 - m)
+                return np.asarray(jnp.clip(out_img, 0, 255).astype(jnp.uint8))
+
+            return run
+        return self._get("anydoor", build)
+
     # ---- assembled toolbox ---------------------------------------------
-    def toolbox(self, with_diffusion: bool = True) -> Toolbox:
+    def toolbox(self, with_diffusion: bool = True,
+                with_anydoor: bool = False) -> Toolbox:
         tb = Toolbox(ground=self.grounder(), inpaint=self.inpainter())
         if with_diffusion:
             tb.ip2p = self.ip2p()
+        if with_anydoor:
+            tb.extra["anydoor"] = self.anydoor()
         return tb
