@@ -39,7 +39,32 @@ def cmd_run(args) -> int:
         print("no records to process", file=sys.stderr)
         return 1
 
-    zoo = ModelZoo(ZooConfig(), weights_dir=args.weights, seed=args.seed)
+    if args.tiny:
+        # hermetic smoke configuration: tiny random models, small buckets
+        import dataclasses
+        import jax.numpy as jnp
+        from anyedit_tpu.core.config import CanvasConfig
+        from anyedit_tpu.models.gdino import TINY_GDINO
+        from anyedit_tpu.models.sam import TINY_SAM
+        from anyedit_tpu.models.lama import TINY_LAMA
+        from anyedit_tpu.models.unet_sd import TINY_UNET
+        from anyedit_tpu.models.vae import TINY_VAE
+        from anyedit_tpu.models.clip import TINY_TEXT
+        zoo_cfg = ZooConfig(
+            canvas=CanvasConfig(edit_size=64, grounding_size=64, sam_size=64,
+                                latent_down=2),
+            gdino=dataclasses.replace(TINY_GDINO, dtype=jnp.float32),
+            sam=dataclasses.replace(TINY_SAM, dtype=jnp.float32),
+            lama=TINY_LAMA,
+            ip2p_unet=dataclasses.replace(TINY_UNET, in_channels=8,
+                                          dtype=jnp.float32),
+            vae=dataclasses.replace(TINY_VAE, dtype=jnp.float32),
+            text=dataclasses.replace(TINY_TEXT, dtype=jnp.float32,
+                                     vocab_size=30522, max_len=77),
+            box_threshold=0.0)
+    else:
+        zoo_cfg = ZooConfig()
+    zoo = ModelZoo(zoo_cfg, weights_dir=args.weights, seed=args.seed)
     needs_diffusion = any(r.edit_type not in
                           ("remove", "counting", "add", "movement", "resize",
                            "relation", "outpainting") for r in records)
@@ -89,6 +114,8 @@ def main(argv=None) -> int:
     pr.add_argument("--seed", type=int, default=0)
     pr.add_argument("--profile-trace", default=None,
                     help="write a jax.profiler trace here")
+    pr.add_argument("--tiny", action="store_true",
+                    help="tiny random-weight models (hermetic smoke runs)")
     _add_shard_args(pr)
     pr.set_defaults(fn=cmd_run)
 

@@ -132,7 +132,12 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if scale is None:
         scale = 1.0 / math.sqrt(d)
     if use_flash is None:
-        use_flash = (jax.default_backend() != "cpu") and lq * lkv >= 256 * 256
+        # Measured on v5e (fused IP2P loop, 12-row batch): XLA's fused
+        # attention edges out the Pallas kernel inside the full UNet at SD
+        # head dims (40/80) because the kernel's lane padding (D→128) wastes
+        # 3.2x matmul FLOPs standalone wins don't recover. Default to XLA;
+        # pass use_flash=True for 128-aligned head dims / long sequences.
+        use_flash = False
     if not use_flash:
         return sdpa_xla(q, k, v, scale=scale)
 

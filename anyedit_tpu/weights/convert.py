@@ -294,3 +294,115 @@ def save_params(tree, path: str | Path) -> None:
 def load_params_file(path: str | Path):
     from flax.serialization import msgpack_restore
     return msgpack_restore(Path(path).read_bytes())
+
+
+# ---- SAM (official segment-anything checkpoint naming) -------------------
+
+def t_convT(w):  # torch ConvTranspose2d (I,O,kH,kW) -> flax (kH,kW,I,O)
+    return np.transpose(w, (2, 3, 0, 1))
+
+
+def t_pos_embed(w):  # (1,H,W,C) -> (H,W,C)
+    return np.asarray(w)[0]
+
+
+def _sam_key(path: tuple[str, ...]) -> tuple[str, "Callable"]:
+    import re
+    p = [q for q in path if q != "params"]
+    tower, name, leaf = p[0], p[1], p[-1]
+    suff = {"kernel": "weight", "scale": "weight", "bias": "bias"}.get(leaf, leaf)
+    conv = lambda k: (k + "." + suff, t_conv if leaf == "kernel" else t_id)
+    convT = lambda k: (k + "." + suff, t_convT if leaf == "kernel" else t_id)
+    lin = lambda k: (k + "." + suff, t_linear if leaf == "kernel" else t_id)
+    norm = lambda k: (k + "." + suff, t_id)
+
+    if tower == "encoder":
+        b = "image_encoder"
+        if name == "patch_embed":
+            return conv(f"{b}.patch_embed.proj")
+        if name == "pos_emb":
+            return f"{b}.pos_embed", t_pos_embed
+        m = re.match(r"block_(\d+)$", name)
+        if m:
+            lb = f"{b}.blocks.{m[1]}"
+            sub = p[2]
+            table = {"ln1": norm(f"{lb}.norm1"), "ln2": norm(f"{lb}.norm2"),
+                     "qkv": lin(f"{lb}.attn.qkv"),
+                     "proj": lin(f"{lb}.attn.proj"),
+                     "mlp1": lin(f"{lb}.mlp.lin1"),
+                     "mlp2": lin(f"{lb}.mlp.lin2"),
+                     "rel_h": (f"{lb}.attn.rel_pos_h", t_id),
+                     "rel_w": (f"{lb}.attn.rel_pos_w", t_id)}
+            if sub in ("rel_h", "rel_w"):
+                return table[sub]
+            return table[sub]
+        neck = {"neck1": conv(f"{b}.neck.0"), "neck_ln1": norm(f"{b}.neck.1"),
+                "neck2": conv(f"{b}.neck.2"), "neck_ln2": norm(f"{b}.neck.3")}
+        if name in neck:
+            return neck[name]
+    if tower == "prompt":
+        if name == "pe_gaussian":
+            return ("prompt_encoder.pe_layer.positional_encoding_gaussian_matrix",
+                    t_id)
+        if name == "corner_emb":
+            # box corners = point_embeddings 2 (top-left) and 3 (bottom-right);
+            # converter callers stack them (see convert_sam docstring)
+            return "prompt_encoder.box_corner_embeddings", t_id
+    if tower == "decoder":
+        b = "mask_decoder"
+        if name == "iou_token":
+            return f"{b}.iou_token.weight", t_id
+        if name == "mask_tokens":
+            return f"{b}.mask_tokens.weight", t_id
+        m = re.match(r"block_(\d+)$", name)
+        if m:
+            lb = f"{b}.transformer.layers.{m[1]}"
+            sub = p[2]
+            attn_map = {"self": "self_attn",
+                        "t2i": "cross_attn_token_to_image",
+                        "i2t": "cross_attn_image_to_token"}
+            am = re.match(r"(self|t2i|i2t)_(q|k|v|o)$", sub)
+            if am:
+                proj = {"q": "q_proj", "k": "k_proj", "v": "v_proj",
+                        "o": "out_proj"}[am[2]]
+                return lin(f"{lb}.{attn_map[am[1]]}.{proj}")
+            ln_map = {"ln1": "norm1", "ln2": "norm2", "ln3": "norm3",
+                      "ln4": "norm4"}
+            if sub in ln_map:
+                return norm(f"{lb}.{ln_map[sub]}")
+            if sub == "mlp1":
+                return lin(f"{lb}.mlp.lin1")
+            if sub == "mlp2":
+                return lin(f"{lb}.mlp.lin2")
+        fm = re.match(r"fin_(q|k|v|o)$", name)
+        if fm:
+            proj = {"q": "q_proj", "k": "k_proj", "v": "v_proj",
+                    "o": "out_proj"}[fm[1]]
+            return lin(f"{b}.transformer.final_attn_token_to_image.{proj}")
+        if name == "fin_ln":
+            return norm(f"{b}.transformer.norm_final_attn")
+        if name == "up1":
+            return convT(f"{b}.output_upscaling.0")
+        if name == "up_ln":
+            return norm(f"{b}.output_upscaling.1")
+        if name == "up2":
+            return convT(f"{b}.output_upscaling.3")
+        m = re.match(r"hyper_(\d+)_(\d+)$", name)
+        if m:
+            return lin(f"{b}.output_hypernetworks_mlps.{m[1]}.layers.{m[2]}")
+        m = re.match(r"iou_(\d+)$", name)
+        if m:
+            return lin(f"{b}.iou_prediction_head.layers.{m[1]}")
+    raise KeyError(f"unmapped SAM param {'/'.join(path)}")
+
+
+def convert_sam(our_tree, sam_state: Mapping[str, Any]):
+    """Official SAM checkpoint → our tree. Callers must pre-stack
+    `prompt_encoder.point_embeddings.{2,3}.weight` into the synthetic key
+    'prompt_encoder.box_corner_embeddings' (shape (2, C)):
+
+        st['prompt_encoder.box_corner_embeddings'] = np.stack(
+            [st['prompt_encoder.point_embeddings.2.weight'][0],
+             st['prompt_encoder.point_embeddings.3.weight'][0]])
+    """
+    return _convert(our_tree, _sam_key, sam_state)

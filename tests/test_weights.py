@@ -114,3 +114,36 @@ def test_save_load_msgpack(tmp_path):
     save_params(tree, tmp_path / "m.msgpack")
     back = load_params_file(tmp_path / "m.msgpack")
     np.testing.assert_array_equal(back["params"]["a"], tree["params"]["a"])
+
+
+def test_sam_converter_roundtrip():
+    from anyedit_tpu.models.sam import SAM, TINY_SAM
+    from anyedit_tpu.weights.convert import (
+        convert_sam, _sam_key, t_convT, t_pos_embed,
+    )
+    cfg = dataclasses.replace(TINY_SAM, dtype=jnp.float32)
+    m = SAM(cfg)
+    tree = m.init(jax.random.key(0), jnp.zeros((1, cfg.img_size, cfg.img_size, 3)),
+                  jnp.zeros((1, 1, 4)))
+    inv = {id(t_conv): lambda w: np.transpose(w, (3, 2, 0, 1)),
+           id(t_linear): np.transpose, id(t_id): np.asarray,
+           id(t_convT): lambda w: np.transpose(w, (2, 3, 0, 1)),
+           id(t_pos_embed): lambda w: np.asarray(w)[None]}
+    hf = {}
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, path + (k,))
+        else:
+            key, tf = _sam_key(path)
+            assert key not in hf, f"duplicate {key}"
+            hf[key] = inv[id(tf)](np.asarray(node))
+
+    walk(jax.tree.map(np.asarray, tree), ())
+    assert "image_encoder.pos_embed" in hf
+    assert "mask_decoder.transformer.layers.0.self_attn.q_proj.weight" in hf
+    assert "prompt_encoder.pe_layer.positional_encoding_gaussian_matrix" in hf
+    out = convert_sam(tree, hf)
+    for a, b in zip(jax.tree.leaves(tree), jax.tree.leaves(out)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
