@@ -340,12 +340,97 @@ class ModelZoo:
             return run
         return self._get("anydoor", build)
 
+    # ---- P2P pair generation (implicit_change stage 1) ------------------
+    def p2p_pair(self):
+        """(ori_caption, tar_caption, keyword, seed) → (ori_img, tar_img,
+        keyword_mask): SD text2img of both captions from one shared start
+        latent with an AttentionStore; `mask_from_ca` on the keyword token
+        localizes the change (implicit_tool.py:76-127 stage 1)."""
+        def build():
+            import dataclasses as dc
+            from anyedit_tpu.diffusion.processors import AttentionStore, mask_from_ca
+            from anyedit_tpu.schedulers import ddim_init, ddim_step
+            import functools
+
+            c = self.cfg
+            unet_cfg = dc.replace(c.ip2p_unet, in_channels=4)
+            unet = UNet2DCondition(unet_cfg)
+            hw = c.canvas.edit_size // c.canvas.latent_down
+            x = jnp.zeros((4, hw, hw, 4), jnp.bfloat16)
+            t = jnp.zeros((4,), jnp.int32)
+            ctx0 = jnp.zeros((4, 77, unet_cfg.context_dim), jnp.bfloat16)
+            params = load_params(unet, (x, t, ctx0), self._wf("unet_sd"), self.seed)
+            ns = make_noise_schedule()
+            enc_text = self._text_encoder()
+            _, dec = self._vae()
+            store = AttentionStore(max_hw=(hw // 2) ** 2)
+
+            @functools.partial(jax.jit, static_argnames=("steps",))
+            def sample_pair(params, ctx4, k, steps, cfg_scale):
+                st = ddim_init(ns, steps)
+                z0 = jax.random.normal(k, (1, hw, hw, 4), jnp.float32)
+                lat = jnp.concatenate([z0, z0], axis=0)
+
+                def body(i, carry):
+                    lat, acc = carry
+                    store.reset()
+                    lat4 = jnp.concatenate([lat, lat], axis=0)
+                    eps4 = unet.apply(params, lat4,
+                                      jnp.full((4,), st.timesteps[i]), ctx4,
+                                      processor=store.processor())
+                    maps = store.collect()
+                    # accumulate the largest captured cross-attn map
+                    best = max(maps, key=lambda n: maps[n].shape[1])
+                    acc = acc + maps[best][2:4]      # cond rows only
+                    e_u, e_c = jnp.split(eps4, 2, axis=0)
+                    eps = e_u + cfg_scale * (e_c - e_u)
+                    return ddim_step(ns, st, i, eps, lat), acc
+
+                # trace once to find the accumulator shape
+                store.reset()
+                _ = unet.apply(params, jnp.concatenate([lat, lat], 0),
+                               jnp.zeros((4,), jnp.int32), ctx4,
+                               processor=store.processor())
+                maps = store.collect()
+                best = max(maps, key=lambda n: maps[n].shape[1])
+                acc0 = jnp.zeros((2,) + maps[best].shape[1:], jnp.float32)
+                lat, acc = jax.lax.fori_loop(0, steps, body, (lat, acc0))
+                return lat, acc
+
+            def run(ori_caption, tar_caption, keyword, seed, steps: int = 20,
+                    cfg_scale: float = 7.5):
+                un = enc_text("").astype(jnp.bfloat16)
+                co = enc_text(ori_caption).astype(jnp.bfloat16)
+                ct = enc_text(tar_caption).astype(jnp.bfloat16)
+                ctx4 = jnp.concatenate([un, un, co, ct], axis=0)
+                lat, acc = sample_pair(params, ctx4, jax.random.key(seed),
+                                       steps, cfg_scale)
+                imgs = dec((lat / c.vae.scaling_factor).astype(jnp.bfloat16))
+                u8 = np.asarray(denormalize_to_u8(imgs))
+                # keyword token position in the tar caption
+                enc = self.tokenizer.encode(tar_caption)
+                from anyedit_tpu.grounding.text import phrase_token_spans
+                span = phrase_token_spans(enc, tar_caption, [keyword])[0]
+                tok = span[0] if span[1] > span[0] else 1
+                ca_hw = int(np.sqrt(acc.shape[1]))
+                mask = mask_from_ca(acc[1:2] / max(1, steps), min(tok, acc.shape[-1] - 1),
+                                    ca_hw)
+                mask_full = resize_image(
+                    jnp.asarray(mask[0], jnp.float32)[..., None],
+                    c.canvas.edit_size, c.canvas.edit_size, "nearest")[..., 0]
+                return u8[0], u8[1], np.asarray(mask_full > 0.5)
+            return run
+        return self._get("p2p_pair", build)
+
     # ---- assembled toolbox ---------------------------------------------
     def toolbox(self, with_diffusion: bool = True,
-                with_anydoor: bool = False) -> Toolbox:
+                with_anydoor: bool = False,
+                with_implicit: bool = False) -> Toolbox:
         tb = Toolbox(ground=self.grounder(), inpaint=self.inpainter())
         if with_diffusion:
             tb.ip2p = self.ip2p()
         if with_anydoor:
             tb.extra["anydoor"] = self.anydoor()
+        if with_implicit:
+            tb.extra["p2p_pair"] = self.p2p_pair()
         return tb

@@ -55,3 +55,15 @@ def test_image_grid_and_validation_log(tmp_path):
                           [(imgs[0], "invert"), (imgs[1], "invert")],
                           tmp_path, step=7)
     assert path.name == "val_step_7.png" and path.exists()
+
+
+def test_p2p_pair_runner(zoo):
+    run = zoo.p2p_pair()
+    ori, tar, mask = run("a cat on grass", "a dog on grass", "dog", seed=0,
+                         steps=2)
+    size = zoo.cfg.canvas.edit_size
+    assert ori.shape == (size, size, 3) and tar.shape == (size, size, 3)
+    assert mask.shape == (size, size) and mask.dtype == bool
+    # shared seed: deterministic
+    ori2, _, _ = run("a cat on grass", "a dog on grass", "dog", seed=0, steps=2)
+    np.testing.assert_array_equal(ori, ori2)
