@@ -2,7 +2,9 @@
 
 from __future__ import annotations
 
-from anyedit_tpu.edits import geometry, global_, implicit, local, outpainting, visual
+from anyedit_tpu.edits import (
+    geometry, global_, implicit, local, outpainting, textual, visual,
+)
 from anyedit_tpu.edits.types import Pipeline
 
 EDIT_PIPELINES: dict[str, Pipeline] = {
@@ -29,6 +31,7 @@ EDIT_PIPELINES: dict[str, Pipeline] = {
     "outpainting": outpainting.outpainting,
     "implicit_change": implicit.implicit_change,
     "style_change": implicit.style_change,
+    "textual_change": textual.textual_change,
 }
 
 

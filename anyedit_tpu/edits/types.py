@@ -57,6 +57,7 @@ class Toolbox:
     canny: Optional[Callable] = None
     seg: Optional[Callable] = None
     hed: Optional[Callable] = None
+    ocr: Optional[Callable] = None   # image → recognized text (GOT-OCR2 slot)
     extra: dict[str, Any] = dataclasses.field(default_factory=dict)
 
 

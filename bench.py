@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 A100_BASELINE_PAIRS_PER_HOUR = 720.0
 STEPS = 50
-IMAGES_PER_BATCH = 16
+IMAGES_PER_BATCH = 8
 
 
 def main():

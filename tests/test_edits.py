@@ -267,3 +267,24 @@ def test_registry_coverage():
         assert t in EDIT_PIPELINES
     with pytest.raises(KeyError):
         get_pipeline("nonexistent")
+
+
+def test_textual_change_pipeline():
+    tb = make_toolbox()
+    a = np.full((32, 32, 3), 10, np.uint8)
+    b = np.full((32, 32, 3), 200, np.uint8)
+    tb.extra["flux_pair"] = lambda ca, cb, seed: (a, b)
+    r = rec("textual_change")
+    r.input = 'a sign that reads "OPEN"'
+    r.output = 'a sign that reads "CLOSED"'
+    out = get_pipeline("textual_change")(tb, r, a, np.random.default_rng(0))
+    assert out.success
+    assert (out.input_image == a).all() and (out.edited == b).all()
+    # OCR gate: mismatching recognized text → rejected
+    tb.ocr = lambda im: "WRONG"
+    out2 = get_pipeline("textual_change")(tb, r, a, np.random.default_rng(0))
+    assert not out2.success and "OCR" in out2.reason
+    # OCR matching → accepted
+    tb.ocr = lambda im: "open" if im[0, 0, 0] == 10 else "closed"
+    out3 = get_pipeline("textual_change")(tb, r, a, np.random.default_rng(0))
+    assert out3.success
