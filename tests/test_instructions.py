@@ -89,3 +89,37 @@ def test_caption_from_concept_modes():
     # llm-backed path
     c4 = caption_from_concept("fox", llm=lambda ps: ["a curious fox at dusk"])
     assert c4 == "a curious fox at dusk"
+
+
+def test_implicit_multi_turn_generator():
+    from anyedit_tpu.instructions.implicit_gen import (
+        ImplicitGenerator, parse_implicit_dump,
+    )
+
+    state = {}
+
+    def llm(prompts):
+        p = prompts[0]
+        if "BEFORE" in p:
+            return ["before: a lit candle on a chocolate cake"]
+        if "event" in p and "AFTER" not in p:
+            return ["event: someone blows out the candle"]
+        return ["after: a cake with a smoking extinguished candle"]
+
+    gen = ImplicitGenerator(llm=llm)
+    recs = gen.generate(2)
+    assert len(recs) == 2
+    r = recs[0]
+    assert r.edit_type == "implicit_change"
+    assert "blows out" in r.edit and r.input != r.output
+
+    dump = """before: a full glass of lemonade
+event: someone drinks most of it
+after: a nearly empty glass of lemonade
+before: same
+event: nothing
+after: same
+"""
+    parsed = parse_implicit_dump(dump)
+    assert len(parsed) == 1  # the degenerate (after == before) pair dropped
+    assert parsed[0].edit == "someone drinks most of it"
