@@ -104,7 +104,7 @@ def cross_attn_sites(unet_cfg) -> tuple[tuple[str, ...], tuple[int, ...]]:
 
     def add(tag, ch):
         names.append(f"{tag}.cross")
-        dims.append(unet_cfg.heads(ch) * unet_cfg.num_head_channels)
+        dims.append(unet_cfg.heads(ch) * unet_cfg.head_dim(ch))
 
     nlv = len(unet_cfg.block_channels)
     for lvl, ch in enumerate(unet_cfg.block_channels):

@@ -34,7 +34,14 @@ class UNetConfig:
     layers_per_block: int = 2
     attn_levels: tuple[bool, ...] = (True, True, True, False)
     transformer_depth: int | tuple[int, ...] = 1   # per-level for SDXL
-    num_head_channels: int = 40          # SD1.5: heads = C / 40... actually 8 heads
+    # Head partitioning. SD1.x (ldm openaimodel num_heads: 8) uses a FIXED
+    # head count with head_dim = C // 8 (40/80/160 per level); SDXL/SD2.x
+    # use fixed head channels (64) with heads = C // 64. `num_heads`, when
+    # set, takes precedence over `num_head_channels`. Getting this wrong
+    # silently converts checkpoints (weight shapes match) but diverges
+    # numerically via head grouping + the 1/sqrt(head_dim) softmax scale.
+    num_heads: int = 0                   # 0 = derive from num_head_channels
+    num_head_channels: int = 40
     context_dim: int = 768
     time_embed_mult: int = 4
     num_groups: int = 32
@@ -45,7 +52,12 @@ class UNetConfig:
     dtype: Any = jnp.bfloat16
 
     def heads(self, channels: int) -> int:
+        if self.num_heads:
+            return self.num_heads
         return max(1, channels // self.num_head_channels)
+
+    def head_dim(self, channels: int) -> int:
+        return channels // self.heads(channels)
 
     def depth_at(self, level: int) -> int:
         if isinstance(self.transformer_depth, tuple):
@@ -53,7 +65,7 @@ class UNetConfig:
         return self.transformer_depth
 
 
-SD15_UNET = UNetConfig()
+SD15_UNET = UNetConfig(num_heads=8)   # head_dim 40/80/160/160 per level
 SD15_IP2P_UNET = dataclasses.replace(SD15_UNET, in_channels=8)
 SD15_INPAINT_UNET = dataclasses.replace(SD15_UNET, in_channels=9)
 # SDXL-base: 3 levels, depths (0,2,10), 2048-dim context, 64-ch heads,
@@ -64,6 +76,10 @@ SDXL_UNET = UNetConfig(block_channels=(320, 640, 1280),
                        num_head_channels=64, context_dim=2048,
                        addition_embed_dim=1280, addition_time_dim=6)
 SDXL_INPAINT_UNET = dataclasses.replace(SDXL_UNET, in_channels=9)
+# AnyDoor is SD2.1-class (reference anydoor.yaml: context_dim 1024,
+# num_head_channels 64, use_linear_in_transformer, hint_channels 4) —
+# NOT SD1.5. head_dim is fixed 64 → heads 5/10/20/20 per level.
+SD21_ANYDOOR_UNET = UNetConfig(num_head_channels=64, context_dim=1024)
 TINY_UNET = UNetConfig(block_channels=(32, 64), attn_levels=(True, False),
                        num_head_channels=8, context_dim=32, num_groups=8,
                        layers_per_block=1)
@@ -100,8 +116,8 @@ class TransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, context, processor=None, extra=None):
         c = self.cfg
-        hd = c.num_head_channels
         inner = x.shape[-1]
+        hd = inner // self.heads
         h = LayerNorm(dtype=c.dtype, name="norm1")(x)
         x = x + MultiHeadAttention(self.heads, hd, inner, f"{self.name_tag}.self",
                                    True, dtype=c.dtype, name="attn1")(

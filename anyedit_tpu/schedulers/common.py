@@ -51,15 +51,19 @@ def make_noise_schedule(num_train_steps: int = DEFAULT_TRAIN_STEPS,
 
 
 def spaced_timesteps(num_train_steps: int, num_inference_steps: int,
-                     style: str = "leading") -> jnp.ndarray:
+                     style: str = "leading",
+                     steps_offset: int = 1) -> jnp.ndarray:
     """Descending int32 timesteps for the sampling loop.
 
     "leading" matches diffusers' default (and the reference's DDIM loops):
-    t_i = i * (T // S), returned high→low.
+    t_i = i * (T // S) + steps_offset, returned high→low. The SD/IP2P
+    DDIMScheduler configs set steps_offset=1, so the 50-step grid is
+    1, 21, ..., 981 — not 0, 20, ..., 980.
     """
     if style == "leading":
         step = num_train_steps // num_inference_steps
-        ts = jnp.arange(num_inference_steps, dtype=jnp.int32) * step
+        ts = jnp.arange(num_inference_steps, dtype=jnp.int32) * step + steps_offset
+        ts = jnp.minimum(ts, num_train_steps - 1)
     elif style == "trailing":
         ts = jnp.round(jnp.arange(num_train_steps, 0,
                                   -num_train_steps / num_inference_steps)).astype(jnp.int32) - 1

@@ -29,7 +29,10 @@ def ddim_init(ns: NoiseSchedule, num_inference_steps: int, eta: float = 0.0,
     acp = ns.alphas_cumprod[ts]
     step = ns.num_train_steps // num_inference_steps
     prev_ts = ts - step
-    acp_prev = jnp.where(prev_ts >= 0, ns.alphas_cumprod[jnp.maximum(prev_ts, 0)], 1.0)
+    # Below t=0 the SD convention (ldm ddim_alphas_prev[0], diffusers
+    # set_alpha_to_one=False) is alphas_cumprod[0], not 1.0.
+    acp_prev = jnp.where(prev_ts >= 0, ns.alphas_cumprod[jnp.maximum(prev_ts, 0)],
+                         ns.alphas_cumprod[0])
     return DDIMState(ts, acp, acp_prev, eta)
 
 

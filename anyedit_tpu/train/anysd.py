@@ -160,14 +160,19 @@ class AnySDTrainer:
         """
         c = self.cfg
         b = batch["edited_latents"].shape[0]
-        k_t, k_n, k_drop1, k_drop2 = jax.random.split(key, 4)
+        k_t, k_n, k_drop = jax.random.split(key, 3)
         t = jax.random.randint(k_t, (b,), 0, self.ns.num_train_steps)
         noise = jax.random.normal(k_n, batch["edited_latents"].shape)
         noisy = add_noise(self.ns, batch["edited_latents"], noise, t)
 
-        # conditioning dropout: 5% drop text, 5% drop image cond, 5% both
-        drop_txt = jax.random.uniform(k_drop1, (b, 1, 1)) < 0.05
-        drop_img = jax.random.uniform(k_drop2, (b, 1, 1, 1)) < 0.05
+        # IP2P conditioning dropout via ONE uniform draw with overlapping
+        # ranges (diffusers train_instruct_pix2pix scheme): text dropped for
+        # p < 2·prob, image for prob ≤ p < 3·prob ⇒ 5% text-only, 5%
+        # image-only, 5% both — the fully-unconditional mode 3-way CFG needs.
+        prob = 0.05
+        p = jax.random.uniform(k_drop, (b,))
+        drop_txt = (p < 2 * prob)[:, None, None]
+        drop_img = ((p >= prob) & (p < 3 * prob))[:, None, None, None]
         text_emb = jnp.where(drop_txt, 0.0, batch["text_emb"])
         orig = jnp.where(drop_img, 0.0, batch["orig_latents"])
 

@@ -63,7 +63,14 @@ def test_ip2p_global_edit_reaches_target():
     # e_full == e_img == e_unc → eps == oracle for any scales.
     out = ip2p_edit(eps_fn, NS, orig, ctx, ctx, key, num_steps=20,
                     guidance_scale=8.0, image_guidance_scale=0.9)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(target), atol=1e-3)
+    # SD timestep grid ends at t=1 (steps_offset=1, set_alpha_to_one=False):
+    # the output sits at the acp[0] level of target, i.e. within a
+    # sqrt(1-acp0) eps residual whose implied noise must be ~unit-normal.
+    acp0 = float(NS.alphas_cumprod[0])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(target),
+                               atol=5 * (1 - acp0) ** 0.5)
+    resid = (np.asarray(out) - acp0 ** 0.5 * np.asarray(target)) / (1 - acp0) ** 0.5
+    assert 0.5 < resid.std() < 1.5, resid.std()
 
 
 def test_ip2p_jits_under_fori():
@@ -111,7 +118,12 @@ def test_text2img_oracle():
 
     ctx = jnp.zeros((1, 4, 16))
     out = sample_text2img(eps_fn, NS, (1, 8, 8, 4), ctx, ctx, key, num_steps=20)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(target), atol=1e-3)
+    # final state keeps the acp[0] noise floor (steps_offset=1 grid)
+    acp0 = float(NS.alphas_cumprod[0])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(target),
+                               atol=5 * (1 - acp0) ** 0.5)
+    resid = (np.asarray(out) - acp0 ** 0.5 * np.asarray(target)) / (1 - acp0) ** 0.5
+    assert 0.5 < resid.std() < 1.5, resid.std()
 
 
 def test_inpaint_keeps_unmasked():

@@ -138,3 +138,22 @@ def test_clip_vision_shapes():
     assert toks.shape == (2, 17, cfg.hidden)
     assert z.shape == (2, cfg.proj_dim)
     np.testing.assert_allclose(np.linalg.norm(np.asarray(z), axis=-1), 1.0, atol=1e-5)
+
+
+def test_head_partitioning_per_level():
+    """SD1.5 (ldm num_heads: 8) = FIXED 8 heads, head_dim C/8 per level;
+    SDXL/SD2.x = fixed 64 head channels. Wrong grouping converts silently
+    but diverges numerically (softmax scale) — see ADVICE r1 #1."""
+    from anyedit_tpu.models.unet_sd import (
+        SD15_UNET, SDXL_UNET, SD21_ANYDOOR_UNET)
+    for ch in SD15_UNET.block_channels:        # (320, 640, 1280, 1280)
+        assert SD15_UNET.heads(ch) == 8
+    assert [SD15_UNET.head_dim(ch) for ch in SD15_UNET.block_channels] == \
+        [40, 80, 160, 160]
+    assert [SDXL_UNET.heads(ch) for ch in SDXL_UNET.block_channels] == \
+        [5, 10, 20]
+    assert all(SDXL_UNET.head_dim(ch) == 64 for ch in SDXL_UNET.block_channels)
+    # AnyDoor is SD2.1-class: context 1024, 64 head channels
+    assert SD21_ANYDOOR_UNET.context_dim == 1024
+    assert all(SD21_ANYDOOR_UNET.head_dim(ch) == 64
+               for ch in SD21_ANYDOOR_UNET.block_channels)

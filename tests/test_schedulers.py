@@ -26,7 +26,9 @@ def test_schedule_shapes():
     assert ns.betas.shape == (1000,)
     assert float(ns.alphas_cumprod[0]) > float(ns.alphas_cumprod[-1]) > 0
     ts = spaced_timesteps(1000, 50)
-    assert ts.shape == (50,) and int(ts[0]) > int(ts[-1]) == 0
+    # SD DDIMScheduler grid: steps_offset=1 → 981, 961, ..., 21, 1
+    assert ts.shape == (50,) and int(ts[0]) == 981 and int(ts[-1]) == 1
+    assert int(spaced_timesteps(1000, 50, steps_offset=0)[-1]) == 0
 
 
 def test_pred_x0_consistency():
@@ -61,11 +63,17 @@ def test_ddim_recovers_x0_with_oracle():
     key = jax.random.key(2)
     x0 = jax.random.normal(key, (1, 4, 8, 8))
     model = _exact_eps_model(ns, x0)
-    x = jax.random.normal(jax.random.fold_in(key, 7), x0.shape)
-    x = add_noise(ns, x0, x, jnp.array(st.timesteps[0]))
+    eps0 = jax.random.normal(jax.random.fold_in(key, 7), x0.shape)
+    x = add_noise(ns, x0, eps0, jnp.array(st.timesteps[0]))
     for i in range(20):
         x = ddim_step(ns, st, jnp.array(i), model(x, st.timesteps[i]), x)
-    np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=1e-3)
+    # SD convention (set_alpha_to_one=False): the walk ends at the
+    # alphas_cumprod[0] noise level, retaining a sqrt(1-acp0) eps residual.
+    # Deterministic DDIM with the oracle preserves the initial eps direction.
+    acp0 = ns.alphas_cumprod[0]
+    expect = jnp.sqrt(acp0) * x0 + jnp.sqrt(1.0 - acp0) * eps0
+    np.testing.assert_allclose(np.asarray(x), np.asarray(expect), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=0.2)
 
 
 def test_ddim_inversion_roundtrip():
@@ -73,29 +81,38 @@ def test_ddim_inversion_roundtrip():
     st = ddim_init(ns, 10)
     key = jax.random.key(3)
     x0 = 0.1 * jax.random.normal(key, (1, 4, 8, 8))
+    eps0 = jax.random.normal(jax.random.fold_in(key, 11), x0.shape)
     model = _exact_eps_model(ns, x0)
-    # invert upward (low→high noise): loop indices S-1 .. 0 reversed
-    x = x0
+    step = ns.num_train_steps // 10
+    # start at the schedule's bottom level (acp[0], i.e. clamped t=0)
+    x_bottom = add_noise(ns, x0, eps0, jnp.array(0))
+    # invert upward (low→high noise): loop indices S-1 .. 0 reversed;
+    # during inversion x sits at the *prev* level of index i
+    x = x_bottom
     for i in reversed(range(10)):
-        x = ddim_inversion_step(ns, st, jnp.array(i), model(x, st.timesteps[i]), x)
+        t_of_level = jnp.maximum(st.timesteps[i] - step, 0)
+        x = ddim_inversion_step(ns, st, jnp.array(i), model(x, t_of_level), x)
     # sample back down
     for i in range(10):
         x = ddim_step(ns, st, jnp.array(i), model(x, st.timesteps[i]), x)
-    np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_bottom), atol=1e-3)
 
 
 def test_ddpm_oracle_converges():
+    """ddpm_step is the stride-1 posterior q(x_{t-1}|x_t, x0): walk every
+    t from 120 down to 0 with the oracle eps and require convergence."""
     ns = make_noise_schedule()
     key = jax.random.key(4)
     x0 = 0.5 * jax.random.normal(key, (1, 4, 8, 8))
     model = _exact_eps_model(ns, x0)
-    x = jax.random.normal(jax.random.fold_in(key, 1), x0.shape)
-    ts = spaced_timesteps(1000, 50)
-    for i in range(50):
-        t = jnp.array(int(ts[i]))
-        x = ddpm_step(ns, t, model(x, t), x, jax.random.fold_in(key, 100 + i))
-    # ancestral noise injections keep it stochastic; just require closeness
-    assert float(jnp.mean(jnp.abs(x - x0))) < 0.15
+    t_start = 120
+    x = add_noise(ns, x0, jax.random.normal(jax.random.fold_in(key, 1), x0.shape),
+                  jnp.array(t_start))
+    step = jax.jit(lambda t, m, x, k: ddpm_step(ns, t, m, x, k))
+    for t in range(t_start, -1, -1):
+        tt = jnp.array(t)
+        x = step(tt, model(x, tt), x, jax.random.fold_in(key, 100 + t))
+    assert float(jnp.mean(jnp.abs(x - x0))) < 0.05
 
 
 def test_euler_ancestral_oracle():
