@@ -19,6 +19,61 @@ from pathlib import Path
 import numpy as np
 
 
+def tiny_zoo_config():
+    """Hermetic smoke configuration: tiny random models, small buckets —
+    covers EVERY toolbox slot so `run --tiny` can stream any edit type."""
+    import dataclasses
+    import jax.numpy as jnp
+    from anyedit_tpu.core.config import CanvasConfig
+    from anyedit_tpu.models.gdino import TINY_GDINO
+    from anyedit_tpu.models.sam import TINY_SAM
+    from anyedit_tpu.models.lama import TINY_LAMA
+    from anyedit_tpu.models.unet_sd import TINY_UNET, TINY_XL_UNET
+    from anyedit_tpu.models.vae import TINY_VAE
+    from anyedit_tpu.models.clip import TINY_TEXT, TINY_VISION
+    from anyedit_tpu.models.flux import TINY_FLUX
+    from anyedit_tpu.models.mmdit import TINY_MMDIT
+    from anyedit_tpu.models.t5 import TINY_T5
+    from anyedit_tpu.models.depth import TINY_DEPTH
+    from anyedit_tpu.models.segmentation import TINY_SEG
+    from anyedit_tpu.models.blip2 import TINY_QFORMER
+    from anyedit_tpu.models.ocr import TINY_OCR
+    from anyedit_tpu.runtime.zoo import ZooConfig
+
+    f32 = dict(dtype=jnp.float32)
+    tiny_vae = dataclasses.replace(TINY_VAE, **f32)
+    text = dataclasses.replace(TINY_TEXT, vocab_size=30522, max_len=77, **f32)
+    return ZooConfig(
+        canvas=CanvasConfig(edit_size=64, grounding_size=64, sam_size=64,
+                            latent_down=2),
+        gdino=dataclasses.replace(TINY_GDINO, **f32),
+        sam=dataclasses.replace(TINY_SAM, **f32),
+        lama=TINY_LAMA,
+        ip2p_unet=dataclasses.replace(TINY_UNET, in_channels=8, **f32),
+        inpaint_unet=dataclasses.replace(TINY_UNET, in_channels=9, **f32),
+        sd_unet=dataclasses.replace(TINY_UNET, **f32),
+        # SDXL dual-tower context = text.hidden + text_g.hidden (32+16)
+        refine_unet=dataclasses.replace(TINY_XL_UNET, context_dim=48, **f32),
+        anydoor_unet=dataclasses.replace(TINY_UNET, context_dim=64, **f32),
+        vae=tiny_vae, sdxl_vae=tiny_vae, sd3_vae=tiny_vae, flux_vae=tiny_vae,
+        text=text,
+        text_g=dataclasses.replace(TINY_TEXT, hidden=16, heads=2,
+                                   vocab_size=30522, max_len=77, **f32),
+        vision=dataclasses.replace(TINY_VISION, **f32),
+        flux=dataclasses.replace(TINY_FLUX, context_dim=32, pooled_dim=32,
+                                 **f32),
+        flux_text=dataclasses.replace(TINY_T5, vocab_size=30522, **f32),
+        mmdit=dataclasses.replace(TINY_MMDIT, in_channels=9, out_channels=4,
+                                  context_dim=32, pooled_dim=48, max_hw=16,
+                                  **f32),
+        depth_cfg=dataclasses.replace(TINY_DEPTH, **f32),
+        seg_cfg=TINY_SEG,
+        eva=dataclasses.replace(TINY_VISION, **f32),
+        qformer=TINY_QFORMER,
+        ocr=TINY_OCR,
+        box_threshold=0.0)
+
+
 def _add_shard_args(p):
     p.add_argument("--shard-index", type=int, default=0)
     p.add_argument("--shard-count", type=int, default=1)
@@ -39,39 +94,19 @@ def cmd_run(args) -> int:
         print("no records to process", file=sys.stderr)
         return 1
 
-    if args.tiny:
-        # hermetic smoke configuration: tiny random models, small buckets
-        import dataclasses
-        import jax.numpy as jnp
-        from anyedit_tpu.core.config import CanvasConfig
-        from anyedit_tpu.models.gdino import TINY_GDINO
-        from anyedit_tpu.models.sam import TINY_SAM
-        from anyedit_tpu.models.lama import TINY_LAMA
-        from anyedit_tpu.models.unet_sd import TINY_UNET
-        from anyedit_tpu.models.vae import TINY_VAE
-        from anyedit_tpu.models.clip import TINY_TEXT
-        zoo_cfg = ZooConfig(
-            canvas=CanvasConfig(edit_size=64, grounding_size=64, sam_size=64,
-                                latent_down=2),
-            gdino=dataclasses.replace(TINY_GDINO, dtype=jnp.float32),
-            sam=dataclasses.replace(TINY_SAM, dtype=jnp.float32),
-            lama=TINY_LAMA,
-            ip2p_unet=dataclasses.replace(TINY_UNET, in_channels=8,
-                                          dtype=jnp.float32),
-            vae=dataclasses.replace(TINY_VAE, dtype=jnp.float32),
-            text=dataclasses.replace(TINY_TEXT, dtype=jnp.float32,
-                                     vocab_size=30522, max_len=77),
-            box_threshold=0.0)
-    else:
-        zoo_cfg = ZooConfig()
+    zoo_cfg = tiny_zoo_config() if args.tiny else ZooConfig()
     zoo = ModelZoo(zoo_cfg, weights_dir=args.weights, seed=args.seed)
-    needs_diffusion = any(r.edit_type not in
-                          ("remove", "counting", "add", "movement", "resize",
-                           "relation", "outpainting") for r in records)
-    tb = zoo.toolbox(with_diffusion=needs_diffusion)
-    ex = FactoryExecutor(tb, ExecutorConfig(
-        output_root=args.output, seed=args.seed,
-        profile_trace_dir=args.profile_trace))
+
+    from anyedit_tpu.runtime.zoo import SLOTS_FOR_EDIT_TYPE
+    types = {r.edit_type for r in records}
+    # the WYS-IP2P editor backs color/tone/style (+ appearance fallback)
+    needs_ip2p = bool(types & {"color_alter", "tone_transfer", "style_change"})
+    slots = [s for t in sorted(types) for s in SLOTS_FOR_EDIT_TYPE.get(t, ())]
+    # filter-gate scorers (pre_filter.py:115-188, post_filter.py:15-79)
+    slots += ["clip", "aesthetic"]
+    if types & {"background_change", "color_alter"}:
+        slots += ["vqa"]
+    tb = zoo.toolbox(with_diffusion=needs_ip2p, slots=slots)
 
     image_root = Path(args.image_root)
 
@@ -79,9 +114,176 @@ def cmd_run(args) -> int:
         from PIL import Image
         return np.asarray(Image.open(image_root / rec.image_file).convert("RGB"))
 
+    # asset loaders for the visual / rotation families
+    def load_visual(rec):
+        from PIL import Image
+        if rec.visual_input:
+            p = image_root / rec.visual_input
+            if p.exists():
+                return np.asarray(Image.open(p).convert("RGB"))
+        return load_image(rec)   # hermetic fallback: self-reference
+
+    def load_rotation_pair(rec):
+        """Record contract: extras['rotation'] = {frame_a, frame_b (paths),
+        q1, q2 (wxyz)} — the MVImgNet capture pair + COLMAP quaternions."""
+        from PIL import Image
+        rot = rec.extras.get("rotation")
+        if not rot:
+            return None
+        fa = np.asarray(Image.open(image_root / rot["frame_a"]).convert("RGB"))
+        fb = np.asarray(Image.open(image_root / rot["frame_b"]).convert("RGB"))
+        return fa, fb, np.asarray(rot["q1"], np.float64), \
+            np.asarray(rot["q2"], np.float64)
+
+    tb.extra.setdefault("load_visual", load_visual)
+    tb.extra.setdefault("load_rotation_pair", load_rotation_pair)
+
+    ex = FactoryExecutor(tb, ExecutorConfig(
+        output_root=args.output, seed=args.seed,
+        run_pre_filter=not args.no_filters,
+        run_post_filter=not args.no_filters,
+        profile_trace_dir=args.profile_trace,
+        grounding_batch=args.ground_batch))
+
     shard = Shard(args.shard_index, args.shard_count, args.start_idx, args.end_idx)
     report = ex.run(records, load_image, shard=shard)
     print(json.dumps(report, indent=2))
+    return 0
+
+
+def cmd_train(args) -> int:
+    """AnySD Stage-II fine-tune from a factory success ledger — replaces
+    the reference's `accelerate launch train.py` (train.py:347-800):
+    mixture dataset → on-device encode → pjit MoE-adapter train step →
+    Orbax checkpoint/rotate/resume."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+
+    from anyedit_tpu.core.mesh import MeshSpec, make_mesh
+    from anyedit_tpu.models.clip import (
+        CLIPTextEncoder, CLIPVisionEncoder, TINY_TEXT, TINY_VISION,
+        CLIP_L_TEXT, CLIP_L_VISION)
+    from anyedit_tpu.models.clip_tokenizer import SimpleClipTokenizer
+    from anyedit_tpu.models.unet_sd import TINY_UNET, SD15_IP2P_UNET
+    from anyedit_tpu.models.vae import AutoencoderKL, TINY_VAE, SD_VAE
+    from anyedit_tpu.ops.resize import imagenet_normalize, resize_image
+    from anyedit_tpu.train.anysd import AnySDConfig, AnySDTrainer, shard_tree
+    from anyedit_tpu.train.checkpoint import TrainCheckpointer
+    from anyedit_tpu.train.data import (
+        MixtureSampler, examples_from_ledger, pixel_batches)
+
+    if args.tiny:
+        text_cfg = dataclasses.replace(TINY_TEXT, vocab_size=49408,
+                                       max_len=16, dtype=jnp.float32)
+        vis_cfg = dataclasses.replace(TINY_VISION, dtype=jnp.float32)
+        vae_cfg = dataclasses.replace(TINY_VAE, dtype=jnp.float32)
+        unet_cfg = dataclasses.replace(
+            TINY_UNET, in_channels=8, context_dim=text_cfg.hidden,
+            dtype=jnp.float32)
+        num_experts = 4
+    else:
+        text_cfg, vis_cfg, vae_cfg = CLIP_L_TEXT, CLIP_L_VISION, SD_VAE
+        unet_cfg = SD15_IP2P_UNET
+        num_experts = 11
+    cfg = AnySDConfig(unet=unet_cfg, num_experts=num_experts,
+                      image_embed_dim=vis_cfg.proj_dim)
+    trainer = AnySDTrainer(cfg, learning_rate=args.lr)
+
+    # frozen encoders (train.py:414-418 freezes VAE/text/image encoders)
+    key = jax.random.key(args.seed)
+    vae = AutoencoderKL(vae_cfg)
+    text = CLIPTextEncoder(text_cfg)
+    vision = CLIPVisionEncoder(vis_cfg)
+    res = args.resolution
+    vae_p = vae.init(key, jnp.zeros((1, res, res, 3)))
+    text_p = text.init(key, jnp.zeros((1, text_cfg.max_len), jnp.int32))
+    vis_p = vision.init(key, jnp.zeros((1, vis_cfg.image_size,
+                                        vis_cfg.image_size, 3)))
+    sf = vae_cfg.scaling_factor
+
+    @jax.jit
+    def encode_batch(batch):
+        e_mean, _ = vae.apply(vae_p, batch["edited_px"],
+                              method=AutoencoderKL.encode)
+        o_mean, _ = vae.apply(vae_p, batch["orig_px"],
+                              method=AutoencoderKL.encode)
+        hidden, _ = text.apply(text_p, batch["text_ids"])
+        px = resize_image(batch["orig_px"] * 0.5 + 0.5, vis_cfg.image_size,
+                          vis_cfg.image_size, "bilinear")
+        _, emb = vision.apply(vis_p, imagenet_normalize(px))
+        return {"edited_latents": e_mean * sf, "orig_latents": o_mean * sf,
+                "text_emb": hidden, "image_embed": emb,
+                "task_id": batch["task_id"]}
+
+    latent_hw = res // (2 ** (len(vae_cfg.block_channels) - 1))
+    unet_p, adapter_p, opt_state = trainer.init(key, latent_hw=latent_hw,
+                                                text_len=text_cfg.max_len)
+    # dp must divide the global batch; surplus devices go to tp/ep
+    import math
+    n_dev = jax.device_count()
+    dp = math.gcd(args.batch_size, n_dev)
+    rest = n_dev // dp
+    tp = 2 if rest % 2 == 0 and rest > 1 else 1
+    ep = 2 if (rest // tp) % 2 == 0 and rest // tp > 1 else 1
+    spec = MeshSpec(dp=dp, tp=tp, ep=ep)
+    mesh = make_mesh(spec, devices=jax.devices()[:spec.size])
+    ad_spec, unet_spec, data_sh = trainer.shardings(mesh)
+    adapter_p = shard_tree(adapter_p, ad_spec)
+    unet_p = shard_tree(unet_p, unet_spec)
+    opt_state = trainer.tx.init(adapter_p)
+
+    ckpt = TrainCheckpointer(args.checkpoint_dir, keep=args.keep_checkpoints,
+                             save_interval_steps=args.checkpoint_every)
+    start_step = 0
+    if args.resume:
+        step0, ap, op = ckpt.restore_latest(adapter_p, opt_state)
+        if step0 is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            repl = NamedSharding(mesh, P())
+            # restored scalars come back committed to one device; replicate
+            # them so they compose with the sharded params under jit
+            op = jax.tree.map(
+                lambda x: jax.device_put(x, repl)
+                if getattr(x, "ndim", None) == 0 else x, op)
+            start_step, adapter_p, opt_state = step0, ap, op
+            print(f"resumed from step {start_step}")
+
+    examples = examples_from_ledger(args.ledger, args.image_root)
+    if not examples:
+        print("no trainable success records in ledger", file=sys.stderr)
+        return 1
+    sampler = MixtureSampler(examples, seed=args.seed)
+    tok = SimpleClipTokenizer(text_cfg.vocab_size)
+
+    def tokenize(s):
+        ids = tok.encode(s)[:text_cfg.max_len]
+        arr = np.zeros((1, text_cfg.max_len), np.int32)
+        arr[0, :len(ids)] = ids
+        return arr
+
+    train_step = jax.jit(trainer.train_step)
+    losses = []
+    bit = pixel_batches(sampler, args.batch_size, res,
+                        args.steps - start_step, tokenize)
+    for step, pixel in enumerate(bit, start=start_step):
+        batch = encode_batch(jax.tree.map(jnp.asarray, pixel))
+        batch = {k: jax.device_put(v, data_sh) for k, v in batch.items()}
+        adapter_p, opt_state, loss = train_step(
+            adapter_p, opt_state, unet_p, batch,
+            jax.random.fold_in(key, step))
+        losses.append(float(loss))
+        if (step + 1) % args.log_every == 0:
+            print(json.dumps({"step": step + 1, "loss": losses[-1]}))
+        if (step + 1) % args.checkpoint_every == 0:
+            ckpt.save(step + 1, adapter_p, opt_state)
+    ckpt.save(args.steps, adapter_p, opt_state)
+    ckpt.wait()
+    ckpt.close()
+    print(json.dumps({"final_step": args.steps,
+                      "mean_loss": float(np.mean(losses)) if losses else None,
+                      "examples": len(examples),
+                      "mixture_types": sorted(sampler.buckets)}))
     return 0
 
 
@@ -116,8 +318,28 @@ def main(argv=None) -> int:
                     help="write a jax.profiler trace here")
     pr.add_argument("--tiny", action="store_true",
                     help="tiny random-weight models (hermetic smoke runs)")
+    pr.add_argument("--ground-batch", type=int, default=8,
+                    help="device-batch N records' first grounding (0=off)")
+    pr.add_argument("--no-filters", action="store_true",
+                    help="skip pre/post gates (random-weight smoke runs)")
     _add_shard_args(pr)
     pr.set_defaults(fn=cmd_run)
+
+    pt = sub.add_parser("train", help="AnySD fine-tune from a success ledger")
+    pt.add_argument("--ledger", required=True)
+    pt.add_argument("--image-root", default=None)
+    pt.add_argument("--steps", type=int, default=1000)
+    pt.add_argument("--batch-size", type=int, default=16)
+    pt.add_argument("--resolution", type=int, default=256)   # train.py:178
+    pt.add_argument("--lr", type=float, default=1e-4)
+    pt.add_argument("--seed", type=int, default=0)
+    pt.add_argument("--checkpoint-dir", default="ckpt")
+    pt.add_argument("--checkpoint-every", type=int, default=500)
+    pt.add_argument("--keep-checkpoints", type=int, default=3)
+    pt.add_argument("--log-every", type=int, default=10)
+    pt.add_argument("--resume", action="store_true")
+    pt.add_argument("--tiny", action="store_true")
+    pt.set_defaults(fn=cmd_train)
 
     pe = sub.add_parser("export", help="ledger → reference-format JSONs")
     pe.add_argument("--ledger", required=True)

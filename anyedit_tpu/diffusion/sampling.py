@@ -78,3 +78,32 @@ def sample_inpaint(eps_fn: EpsFn, ns: NoiseSchedule,
         return mask_latent * lat + (1.0 - mask_latent) * ren
 
     return jax.lax.fori_loop(0, num_steps, body, latents)
+
+
+def sample_img2img(eps_fn: EpsFn, ns: NoiseSchedule,
+                   image_latents: jnp.ndarray,
+                   cond_text: jnp.ndarray, uncond_text: jnp.ndarray,
+                   key: jax.Array, num_steps: int = 50,
+                   strength: float = 0.5,
+                   guidance_scale: float = 7.5) -> jnp.ndarray:
+    """SDEdit-style img2img: noise the input latents to the `strength`
+    fraction of the schedule, then denoise the remaining steps with 2-way
+    CFG (the implicit pipeline's SDXL img2img refine stage,
+    implicit_tool.py:129-148 semantics). strength must be static under jit."""
+    st = ddim_init(ns, num_steps)
+    n_run = max(1, min(num_steps, int(round(num_steps * strength))))
+    i0 = num_steps - n_run
+    noise = jax.random.normal(key, image_latents.shape, jnp.float32)
+    lat = add_noise(ns, image_latents, noise, st.timesteps[i0])
+    ctx = jnp.concatenate([cond_text, uncond_text], axis=0)
+    b = image_latents.shape[0]
+
+    def body(i, lat):
+        t = st.timesteps[i]
+        lat2 = jnp.concatenate([lat, lat], axis=0)
+        eps2 = eps_fn(lat2, jnp.full((2 * b,), t), ctx)
+        e_c, e_u = jnp.split(eps2, 2, axis=0)
+        eps = e_u + guidance_scale * (e_c - e_u)
+        return ddim_step(ns, st, i, eps, lat)
+
+    return jax.lax.fori_loop(i0, num_steps, body, lat)

@@ -50,3 +50,19 @@ def consistent_synthesis(unet_apply: UNetApply, ns: NoiseSchedule,
         return ddim_step(ns, st, i, eps, lat)
 
     return jax.lax.fori_loop(0, num_steps, body, lat)
+
+
+def action_change(tb, rec, image, rng):
+    """Record-level pipeline (action_change_tool.py:49-127 driver): both
+    sides are SYNTHESIZED from the (input, output) caption pair with the
+    MasaCtrl-consistent sampler; `image` is unused."""
+    import numpy as np
+    from anyedit_tpu.edits.types import EditOutcome
+
+    pair = tb.extra.get("masactrl_pair")
+    if pair is None:
+        return EditOutcome(False, reason="masactrl stack unavailable")
+    seed = int(rng.integers(0, 2 ** 31))
+    src, tgt = pair(rec.input, rec.output, seed)
+    return EditOutcome(True, edited=np.asarray(tgt),
+                       input_image=np.asarray(src))

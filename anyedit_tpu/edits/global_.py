@@ -61,6 +61,13 @@ def appearance_alter(tb: Toolbox, rec: InstructionRecord, image: np.ndarray,
     if gf is not None and bool(np.any(np.asarray(gf.mask))):
         mask = mask & ~np.asarray(gf.mask)   # face-exclusion (:104-130)
     mask01 = mask.astype(np.float32)
-    edited = np.asarray(tb.ip2p(image, rec.edit, mask01,
-                                steps=50, s_txt=8.0, s_img=1.5))
+    ultraedit = tb.extra.get("ultraedit")
+    if ultraedit is not None:
+        # the reference routes attribute edits through SD3 UltraEdit
+        # (attribute_pipeline_tool.py:85-155); IP2P is the fallback stack
+        edited = np.asarray(ultraedit(image, rec.edit, mask01,
+                                      steps=50, s_txt=8.0, s_img=1.5))
+    else:
+        edited = np.asarray(tb.ip2p(image, rec.edit, mask01,
+                                    steps=50, s_txt=8.0, s_img=1.5))
     return EditOutcome(True, edited=edited, mask=mask)

@@ -3,7 +3,8 @@
 from __future__ import annotations
 
 from anyedit_tpu.edits import (
-    geometry, global_, implicit, local, outpainting, textual, visual,
+    action_change, geometry, global_, implicit, local, outpainting, rotation,
+    textual, visual,
 )
 from anyedit_tpu.edits.types import Pipeline
 
@@ -21,6 +22,8 @@ EDIT_PIPELINES: dict[str, Pipeline] = {
     "counting": local.remove,
     "replace": local.replace,
     "background_change": local.background_change,
+    "action_change": action_change.action_change,
+    "rotation_change": rotation.rotation_change,
     "color_alter": global_.color_alter,
     "tone_transfer": global_.tone_transfer,
     "appearance_alter": global_.appearance_alter,

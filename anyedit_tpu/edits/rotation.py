@@ -107,3 +107,26 @@ def write_images_binary(path: str | Path, images: dict[int, ColmapImage]) -> Non
                                 im.camera_id))
             f.write(im.name.encode() + b"\x00")
             f.write(struct.pack("<Q", 0))
+
+
+def rotation_change(tb, rec, image, rng):
+    """Record-level pipeline (rotation_change_tool.py:31-164 driver): pick a
+    capture frame pair via `tb.extra['load_rotation_pair']`, accept it when
+    the relative camera rotation is a 10-120° yaw, and synthesize the
+    left/right instruction. No diffusion — the capture IS the edit pair."""
+    from anyedit_tpu.edits.types import EditOutcome
+
+    loader = tb.extra.get("load_rotation_pair")
+    if loader is None:
+        return EditOutcome(False, reason="rotation frame loader unavailable")
+    pair = loader(rec)
+    if pair is None:
+        return EditOutcome(False, reason="no capture frames for record")
+    frame_a, frame_b, q1, q2 = pair
+    direction = determine_rotation(np.asarray(q1, np.float64),
+                                   np.asarray(q2, np.float64))
+    if direction is None:
+        return EditOutcome(False, reason="rotation not a 10-120 degree yaw")
+    rec.edit = rotation_instruction(direction, rng)
+    return EditOutcome(True, edited=np.asarray(frame_b),
+                       input_image=np.asarray(frame_a))

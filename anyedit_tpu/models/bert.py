@@ -52,7 +52,7 @@ class BertLayer(nn.Module):
         out = nn.Dense(c.hidden, dtype=c.dtype, name="attn_out")(out)
         x = LayerNorm(dtype=c.dtype, name="ln1")(x + out)
         h = nn.Dense(c.hidden * 4, dtype=c.dtype, name="fc1")(x)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)   # HF BERT uses exact-erf gelu
         h = nn.Dense(c.hidden, dtype=c.dtype, name="fc2")(h)
         return LayerNorm(dtype=c.dtype, name="ln2")(x + h)
 
@@ -67,13 +67,19 @@ class BertEncoder(nn.Module):
     cfg: BertConfig = BERT_BASE
 
     @nn.compact
-    def __call__(self, ids, attn_bias=None, token_type=None):
+    def __call__(self, ids, attn_bias=None, token_type=None,
+                 position_ids=None):
         c = self.cfg
         b, l = ids.shape
         x = nn.Embed(c.vocab_size, c.hidden, dtype=c.dtype, name="tok")(ids)
         pos = self.param("pos", nn.initializers.normal(0.02),
                          (c.max_len, c.hidden), jnp.float32)
-        x = x + pos[None, :l].astype(c.dtype)
+        if position_ids is None:
+            x = x + pos[None, :l].astype(c.dtype)
+        else:
+            # GroundingDINO restarts position ids per phrase segment
+            # (bertwarper.py generate_masks_with_special_tokens...)
+            x = x + pos[position_ids].astype(c.dtype)
         if token_type is None:
             token_type = jnp.zeros_like(ids)
         x = x + nn.Embed(c.type_vocab, c.hidden, dtype=c.dtype,

@@ -33,6 +33,9 @@ class CLIPTextConfig:
 CLIP_L_TEXT = CLIPTextConfig()                                     # SD1.5 / ViT-L
 CLIP_H_TEXT = CLIPTextConfig(hidden=1024, layers=24, heads=16, activation="gelu")
 CLIP_B32_TEXT = CLIPTextConfig(hidden=512, layers=12, heads=8)
+# OpenCLIP bigG — SDXL's second tower (ctx 2048 = 768 + 1280 concat)
+CLIP_BIGG_TEXT = CLIPTextConfig(hidden=1280, layers=32, heads=20,
+                                activation="gelu")
 TINY_TEXT = CLIPTextConfig(vocab_size=256, hidden=32, layers=2, heads=2, max_len=16)
 
 
@@ -53,6 +56,12 @@ CLIP_H_VISION = CLIPVisionConfig(hidden=1280, layers=32, heads=16,
                                  proj_dim=1024, activation="gelu")
 CLIP_B32_VISION = CLIPVisionConfig(patch=32, hidden=768, layers=12, heads=12,
                                    proj_dim=512)
+# EVA ViT-g/14 — BLIP-2's frozen image encoder (feature width 1408,
+# reference Blip2ForConditionalGeneration vision tower). Stand-in on the
+# CLIP ViT skeleton; EVA's 4.36x MLP ratio is approximated by 4x.
+EVA_VIT_G = CLIPVisionConfig(image_size=224, patch=14, hidden=1408,
+                             layers=39, heads=16, proj_dim=1024,
+                             activation="gelu")
 TINY_VISION = CLIPVisionConfig(image_size=32, patch=8, hidden=32, layers=2,
                                heads=2, proj_dim=16)
 

@@ -45,6 +45,8 @@ class GDINOConfig:
     num_points: int = 4
     max_text_len: int = 256
     ffn_dim: int = 2048
+    # BERT special-token ids delimiting phrase segments ([CLS], [SEP], '.')
+    special_ids: tuple[int, ...] = (101, 102, 1012)
     dtype: Any = jnp.bfloat16
 
 
@@ -58,6 +60,48 @@ TINY_GDINO = GDINOConfig(swin=TINY_SWIN, bert=TINY_BERT, hidden=32, heads=2,
 def _inverse_sigmoid(x, eps=1e-5):
     x = jnp.clip(x, eps, 1 - eps)
     return jnp.log(x / (1 - x))
+
+
+def segment_text_masks(text_ids: jnp.ndarray, text_mask: jnp.ndarray,
+                       special_ids: tuple[int, ...]):
+    """Within-phrase self-attention mask + per-segment position ids.
+
+    Traced re-derivation of the reference's
+    `generate_masks_with_special_tokens_and_transfer_map`
+    (GroundingDINO bertwarper.py): tokens may attend to each other iff they
+    belong to the same phrase segment — the run of tokens between two
+    delimiters, inclusive of the closing '.'; [CLS]/[SEP] attend only to
+    themselves. Position ids restart at 0 per segment.
+
+    Returns (self_attn_bias (B,1,T,T) fp32 additive, position_ids (B,T)).
+    """
+    is_special = jnp.zeros_like(text_ids, dtype=bool)
+    for sid in special_ids:
+        is_special = is_special | (text_ids == sid)
+    # [CLS]/[SEP] (the first two special_ids) are isolated; '.' stays in
+    # its block (reference handles col==0 / col==len-1 separately)
+    isolate_tok = (text_ids == special_ids[0]) | (text_ids == special_ids[1])
+    # segment id = number of special tokens strictly before position i;
+    # the closing delimiter shares its segment's id.
+    seg = jnp.cumsum(is_special.astype(jnp.int32), axis=1) \
+        - is_special.astype(jnp.int32)
+    same_seg = (seg[:, :, None] == seg[:, None, :])
+    valid = text_mask[:, :, None] & text_mask[:, None, :]
+    t = text_ids.shape[1]
+    eye = jnp.eye(t, dtype=bool)[None]
+    isolate = isolate_tok[:, :, None] | isolate_tok[:, None, :]
+    allowed = (same_seg & ~isolate & valid) | eye
+    bias = jnp.where(allowed, 0.0, -1e9)[:, None, :, :].astype(jnp.float32)
+    # per-segment positions: distance past the previous special token
+    idx = jnp.arange(t)[None, :]
+    prev_special = jnp.where(is_special, idx, -1)
+    prev_special = jax.lax.cummax(prev_special, axis=1)
+    # shift exclusive: previous special strictly before i
+    prev_excl = jnp.concatenate(
+        [jnp.full_like(prev_special[:, :1], -1), prev_special[:, :-1]], axis=1)
+    position_ids = jnp.where(isolate_tok, 0,
+                             jnp.maximum(idx - prev_excl - 1, 0))
+    return bias, position_ids
 
 
 class DeformAttnModule(nn.Module):
@@ -145,24 +189,24 @@ class EncoderLayer(nn.Module):
         c = self.cfg
         # fusion first (per reference encoder ordering)
         img, txt = BiFusion(c, name="fusion")(img, txt, txt_kpm_bias)
-        # text self-attention
-        tq = txt + 0.0
-        tn = LayerNorm(dtype=c.dtype, name="txt_ln")(tq)
+        # text self-attention — post-norm (reference text_layers are
+        # torch TransformerEncoderLayers, transformer.py)
         h = c.heads
-        b, t, _ = tn.shape
+        b, t, _ = txt.shape
         d = c.hidden // h
         sp = lambda x: x.reshape(b, t, h, d).transpose(0, 2, 1, 3)
-        ta = sdpa_xla(sp(nn.Dense(c.hidden, dtype=c.dtype, name="tq")(tn)),
-                      sp(nn.Dense(c.hidden, dtype=c.dtype, name="tk")(tn)),
-                      sp(nn.Dense(c.hidden, dtype=c.dtype, name="tv")(tn)),
+        ta = sdpa_xla(sp(nn.Dense(c.hidden, dtype=c.dtype, name="tq")(txt)),
+                      sp(nn.Dense(c.hidden, dtype=c.dtype, name="tk")(txt)),
+                      sp(nn.Dense(c.hidden, dtype=c.dtype, name="tv")(txt)),
                       bias=txt_bias)
         ta = ta.transpose(0, 2, 1, 3).reshape(b, t, c.hidden)
-        txt = txt + nn.Dense(c.hidden, dtype=c.dtype, name="to")(ta)
+        txt = LayerNorm(dtype=c.dtype, name="txt_ln")(
+            txt + nn.Dense(c.hidden, dtype=c.dtype, name="to")(ta))
         txt = FFN(c, name="txt_ffn")(txt)
-        # vision deformable self-attention
-        q = LayerNorm(dtype=c.dtype, name="img_ln")(img + pos)
-        img = img + DeformAttnModule(c, name="deform")(
-            q, img, spatial_shapes, ref_points)
+        # vision deformable self-attention — post-norm (deformable DETR)
+        out = DeformAttnModule(c, name="deform")(
+            img + pos, img, spatial_shapes, ref_points)
+        img = LayerNorm(dtype=c.dtype, name="img_ln")(img + out)
         img = FFN(c, name="img_ffn")(img)
         return img, txt
 
@@ -178,28 +222,31 @@ class DecoderLayer(nn.Module):
         q = tgt.shape[1]
         d = c.hidden // h
         sp = lambda x, l: x.reshape(b, l, h, d).transpose(0, 2, 1, 3)
-        # self-attention among queries
-        tn = LayerNorm(dtype=c.dtype, name="ln_sa")(tgt + q_pos)
-        sa = sdpa_xla(sp(nn.Dense(c.hidden, dtype=c.dtype, name="sq")(tn), q),
-                      sp(nn.Dense(c.hidden, dtype=c.dtype, name="sk")(tn), q),
+        # self-attention among queries — post-norm (reference decoder
+        # ordering: self_attn→norm2, ca_text→catext_norm, deform→norm1,
+        # ffn→norm3)
+        qk = tgt + q_pos
+        sa = sdpa_xla(sp(nn.Dense(c.hidden, dtype=c.dtype, name="sq")(qk), q),
+                      sp(nn.Dense(c.hidden, dtype=c.dtype, name="sk")(qk), q),
                       sp(nn.Dense(c.hidden, dtype=c.dtype, name="sv")(tgt), q))
-        tgt = tgt + nn.Dense(c.hidden, dtype=c.dtype, name="so")(
-            sa.transpose(0, 2, 1, 3).reshape(b, q, c.hidden))
+        tgt = LayerNorm(dtype=c.dtype, name="ln_sa")(
+            tgt + nn.Dense(c.hidden, dtype=c.dtype, name="so")(
+                sa.transpose(0, 2, 1, 3).reshape(b, q, c.hidden)))
         # text cross-attention
-        tn = LayerNorm(dtype=c.dtype, name="ln_ta")(tgt + q_pos)
         t = txt.shape[1]
-        ca = sdpa_xla(sp(nn.Dense(c.hidden, dtype=c.dtype, name="cq")(tn), q),
+        ca = sdpa_xla(sp(nn.Dense(c.hidden, dtype=c.dtype, name="cq")(tgt + q_pos), q),
                       sp(nn.Dense(c.hidden, dtype=c.dtype, name="ck")(txt), t),
                       sp(nn.Dense(c.hidden, dtype=c.dtype, name="cv")(txt), t),
                       bias=txt_kpm_bias)
-        tgt = tgt + nn.Dense(c.hidden, dtype=c.dtype, name="co")(
-            ca.transpose(0, 2, 1, 3).reshape(b, q, c.hidden))
+        tgt = LayerNorm(dtype=c.dtype, name="ln_ta")(
+            tgt + nn.Dense(c.hidden, dtype=c.dtype, name="co")(
+                ca.transpose(0, 2, 1, 3).reshape(b, q, c.hidden)))
         # deformable cross-attention to image
-        tn = LayerNorm(dtype=c.dtype, name="ln_da")(tgt + q_pos)
         ref = jnp.broadcast_to(ref_boxes[:, :, None, :],
                                (b, q, c.num_levels, 4))
-        tgt = tgt + DeformAttnModule(c, name="deform")(
-            tn, img, spatial_shapes, ref)
+        out = DeformAttnModule(c, name="deform")(
+            tgt + q_pos, img, spatial_shapes, ref)
+        tgt = LayerNorm(dtype=c.dtype, name="ln_da")(tgt + out)
         return FFN(c, name="ffn")(tgt)
 
 
@@ -226,26 +273,38 @@ class GroundingDINO(nn.Module):
 
         # ---- text tower -------------------------------------------------
         kpm_bias = jnp.where(text_mask, 0.0, -1e9)[:, None, None, :]  # key-pad
-        txt = BertEncoder(c.bert, name="bert")(text_ids, kpm_bias)
+        # within-phrase attention + per-segment positions (bertwarper.py)
+        seg_bias, position_ids = segment_text_masks(text_ids, text_mask,
+                                                    c.special_ids)
+        txt = BertEncoder(c.bert, name="bert")(text_ids, seg_bias,
+                                               position_ids=position_ids)
         txt = nn.Dense(c.hidden, dtype=c.dtype, name="feat_map")(
             txt.astype(c.dtype))                                      # (B,T,C)
 
         # ---- vision tower ----------------------------------------------
+        from anyedit_tpu.models.layers import GroupNorm
         feats = SwinTransformer(c.swin, name="swin")(pixels)
         maps = [feats[k] for k in sorted(feats)]
-        # extra coarse level via stride-2 conv on the last map
-        while len(maps) < c.num_levels:
-            maps.append(nn.Conv(c.hidden, (3, 3), strides=(2, 2), padding="SAME",
-                                dtype=c.dtype,
-                                name=f"extra_{len(maps)}")(maps[-1]))
-        spatial_shapes = tuple((m.shape[1], m.shape[2]) for m in maps)
+        # 1x1 proj + GroupNorm(32) per backbone level; extra coarse levels
+        # are 3x3 stride-2 convs from the RAW last backbone map (reference
+        # input_proj construction, groundingdino.py) — no double projection
+        gn_groups = min(32, c.hidden)
         proj = []
         for i, m in enumerate(maps):
             p = nn.Conv(c.hidden, (1, 1), dtype=c.dtype, name=f"in_proj_{i}")(m)
-            p = LayerNorm(dtype=c.dtype, name=f"in_ln_{i}")(p)
-            proj.append(p.reshape(m.shape[0], -1, c.hidden))
-        img = jnp.concatenate(proj, axis=1)                           # (B,S,C)
-        b, s, _ = img.shape
+            proj.append(GroupNorm(gn_groups, dtype=c.dtype, name=f"in_ln_{i}")(p))
+        src = maps[-1]
+        while len(proj) < c.num_levels:
+            src = nn.Conv(c.hidden, (3, 3), strides=(2, 2), padding="SAME",
+                          dtype=c.dtype, name=f"in_proj_{len(proj)}")(src)
+            src = GroupNorm(gn_groups, dtype=c.dtype,
+                            name=f"in_ln_{len(proj)}")(src)
+            proj.append(src)
+        spatial_shapes = tuple((m.shape[1], m.shape[2]) for m in proj)
+        b = proj[0].shape[0]
+        img = jnp.concatenate([p.reshape(b, -1, c.hidden) for p in proj],
+                              axis=1)                                 # (B,S,C)
+        s = img.shape[1]
 
         # level embedding + per-token normalized reference points
         lvl_emb = self.param("level_embed", nn.initializers.normal(1.0),
@@ -270,9 +329,11 @@ class GroundingDINO(nn.Module):
                                    (b, s, c.num_levels, 2))
 
         # ---- cross-modality encoder ------------------------------------
+        # text self-attention keeps the within-phrase mask; image→text
+        # fusion and decoder cross-attention see padding-masked text only
         for i in range(c.enc_layers):
             img, txt = EncoderLayer(c, name=f"enc_{i}")(
-                img, txt, spatial_shapes, ref_pts, pos, None, kpm_bias)
+                img, txt, spatial_shapes, ref_pts, pos, seg_bias, kpm_bias)
 
         # ---- language-guided query selection ---------------------------
         out_mem = LayerNorm(dtype=c.dtype, name="mem_ln")(
@@ -297,20 +358,24 @@ class GroundingDINO(nn.Module):
         tgt = jnp.broadcast_to(tgt_emb[None, :nq], (b, nq, c.hidden)).astype(c.dtype)
 
         # ---- decoder with iterative box refinement ---------------------
+        # shared ref_point_head MLP (reference transformer.decoder
+        # ref_point_head: sine(4 coords × C/2) = 2C → C → C)
+        rp_fc1 = nn.Dense(c.hidden, dtype=c.dtype, name="ref_point_fc1")
+        rp_fc2 = nn.Dense(c.hidden, dtype=c.dtype, name="ref_point_fc2")
         for i in range(c.dec_layers):
             # query pos embedding from current reference boxes
-            dim_t = jnp.arange(c.hidden // 8, dtype=jnp.float32)
-            dim_t = 10000.0 ** (2 * (dim_t // 2) / (c.hidden // 4))
+            dim_t = jnp.arange(c.hidden // 4, dtype=jnp.float32)
+            dim_t = 10000.0 ** (2 * (dim_t // 2) / (c.hidden / 2))
             pe = (ref_boxes[:, :, :, None] * 2 * jnp.pi) / dim_t
             pe = jnp.concatenate([jnp.sin(pe), jnp.cos(pe)], -1).reshape(
-                b, nq, c.hidden)
-            q_pos = nn.Dense(c.hidden, dtype=c.dtype, name=f"qpos_{i}")(
-                pe.astype(c.dtype))
+                b, nq, 2 * c.hidden)
+            q_pos = rp_fc2(nn.relu(rp_fc1(pe.astype(c.dtype))))
             tgt = DecoderLayer(c, name=f"dec_{i}")(
                 tgt, img, txt, spatial_shapes, ref_boxes, q_pos, kpm_bias)
             delta = BoxHead(c, name=f"dec_box_head_{i}")(tgt)
             ref_boxes = jax.nn.sigmoid(_inverse_sigmoid(ref_boxes) + delta)
             ref_boxes = jax.lax.stop_gradient(ref_boxes)
+        tgt = LayerNorm(dtype=c.dtype, name="dec_norm")(tgt)
 
         # ---- contrastive phrase logits ----------------------------------
         logits = jnp.einsum("bqc,btc->bqt", tgt.astype(jnp.float32),

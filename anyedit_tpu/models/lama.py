@@ -53,8 +53,17 @@ class FrozenBN(nn.Module):
         return y.astype(x.dtype)
 
 
-def _conv(feat, k, stride=1, name=None, dtype=jnp.float32):
+def _conv(feat, k, stride=1, name=None, dtype=jnp.float32,
+          pad_mode: str = "zeros"):
+    """k×k conv; big-lama reflect-pads the stem/blocks/out convs
+    (padding_type='reflect' in the saicinpainting config) and zero-pads
+    the stride-2 downsamples."""
     pad = k // 2
+    if pad_mode == "reflect" and pad > 0:
+        inner = nn.Conv(feat, (k, k), strides=(stride, stride),
+                        padding="VALID", dtype=dtype, name=name)
+        return lambda x: inner(jnp.pad(
+            x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect"))
     return nn.Conv(feat, (k, k), strides=(stride, stride),
                    padding=((pad, pad), (pad, pad)), dtype=dtype, name=name)
 
@@ -90,16 +99,19 @@ class FFC(nn.Module):
     out_ch: int
     cfg: LamaConfig
     kernel: int = 3
+    pad_mode: str = "reflect"      # resnet blocks reflect-pad (big-lama)
 
     @nn.compact
     def __call__(self, x_l, x_g):
         c = self.cfg
         og = int(self.out_ch * c.ratio_g)
         ol = self.out_ch - og
-        y_l = _conv(ol, self.kernel, name="l2l", dtype=c.dtype)(x_l)
-        y_g = _conv(og, self.kernel, name="l2g", dtype=c.dtype)(x_l)
+        pm = self.pad_mode
+        y_l = _conv(ol, self.kernel, name="l2l", dtype=c.dtype, pad_mode=pm)(x_l)
+        y_g = _conv(og, self.kernel, name="l2g", dtype=c.dtype, pad_mode=pm)(x_l)
         if x_g is not None and x_g.shape[-1] > 0:
-            y_l = y_l + _conv(ol, self.kernel, name="g2l", dtype=c.dtype)(x_g)
+            y_l = y_l + _conv(ol, self.kernel, name="g2l", dtype=c.dtype,
+                              pad_mode=pm)(x_g)
             y_g = y_g + SpectralTransform(og, c, name="g2g")(x_g)
         return y_l, y_g
 
@@ -133,7 +145,7 @@ class LamaGenerator(nn.Module):
     def __call__(self, image, mask):
         c = self.cfg
         x = jnp.concatenate([image * (1.0 - mask), mask], axis=-1).astype(c.dtype)
-        h = _conv(c.base, 7, name="stem")(x)
+        h = _conv(c.base, 7, name="stem", pad_mode="reflect")(x)
         h = nn.relu(FrozenBN(name="stem_bn")(h))
         ch = c.base
         for i in range(c.n_downsample):
@@ -147,11 +159,15 @@ class LamaGenerator(nn.Module):
         h = jnp.concatenate([h_l, h_g], axis=-1)
         for i in range(c.n_downsample):
             ch //= 2
-            b, hh, ww, _ = h.shape
-            h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
-            h = _conv(ch, 3, name=f"up_{i}")(h)
+            # ConvTranspose2d(3, stride 2, pad 1, output_pad 1) — exact
+            # torch equivalence: padding ((1,2),(1,2)) + transpose_kernel
+            # (verified numerically; see tests/test_weights.py)
+            h = nn.ConvTranspose(ch, (3, 3), strides=(2, 2),
+                                 padding=((1, 2), (1, 2)),
+                                 transpose_kernel=True, dtype=c.dtype,
+                                 name=f"up_{i}")(h)
             h = nn.relu(FrozenBN(name=f"up_bn_{i}")(h))
-        out = _conv(3, 7, name="out")(h)
+        out = _conv(3, 7, name="out", pad_mode="reflect")(h)
         out = nn.sigmoid(out.astype(jnp.float32))
         return mask * out + (1.0 - mask) * image
 

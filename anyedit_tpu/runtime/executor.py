@@ -66,6 +66,44 @@ class ExecutorConfig:
     run_pre_filter: bool = True
     run_post_filter: bool = True
     profile_trace_dir: Optional[str] = None   # jax.profiler trace output
+    # >0: device-batch the first grounding call of N records into ONE
+    # detector forward + ONE SAM encode (the per-record loop is the
+    # factory's throughput ceiling, SURVEY §3.1)
+    grounding_batch: int = 0
+
+
+# each edit type's FIRST tb.ground call: (phrase field, mode, count field).
+# Only these are batchable ahead of the pipeline; verify-loop re-detections
+# on edited images always run live.
+_FIRST_GROUND: dict[str, tuple[str, str]] = {
+    "remove": ("edited_object", "merge"), "counting": ("edited_object", "count"),
+    "add": ("edited_object", "merge"), "replace": ("edited_object", "merge"),
+    "background_change": ("edited_object", "merge"),
+    "color_alter": ("edited_object", "merge"),
+    "appearance_alter": ("edited_object", "merge"),
+    "material_alter": ("edited_object", "merge"),
+    "resize": ("edited_object", "max"), "movement": ("edited_object", "max"),
+    "relation": ("edited_object", "max"),
+    "outpainting": ("edited_object", "merge"),
+    "visual_bbox": ("edited_object", "merge"),
+    "visual_reference": ("edited_object", "max"),
+    "visual_material_transfer": ("edited_object", "max"),
+    "material_transfer": ("edited_object", "max"),
+}
+
+
+def _first_ground_spec(rec) -> Optional[tuple[str, str, Optional[int]]]:
+    spec = _FIRST_GROUND.get(rec.edit_type)
+    if spec is None:
+        return None
+    phrase = getattr(rec, spec[0]) or (rec.input if rec.edit_type in
+                                       ("outpainting", "visual_bbox") else None)
+    if rec.edit_type == "background_change" and not phrase:
+        phrase = "foreground object"
+    if not phrase:
+        return None
+    count_k = rec.remove_number if spec[1] == "count" else None
+    return phrase, spec[1], count_k
 
 
 class FactoryExecutor:
@@ -80,30 +118,79 @@ class FactoryExecutor:
         self.timer = StageTimer()
         self.pre_scorer = pre_scorer or self._default_pre_scorer
         self.post_scorer = post_scorer or self._default_post_scorer
+        self._gcache: dict = {}
+        if self.cfg.grounding_batch and self.tb.ground is not None:
+            self._wrap_ground()
 
-    # ---- default scorers (permissive without scorer models) -------------
+    def _wrap_ground(self) -> None:
+        """Serve precomputed chunk groundings by (image identity, phrase,
+        mode, count_k); anything else (verify re-detections on edited
+        images) falls through to the live grounder."""
+        real = self.tb.ground
+
+        def ground(image, phrase, mode="merge", count_k=None):
+            k = (id(image), phrase, mode, count_k)
+            if k in self._gcache:
+                return self._gcache[k]
+            return real(image, phrase, mode=mode, count_k=count_k)
+
+        ground.batch = getattr(real, "batch", None)
+        self.tb.ground = ground
+
+    # ---- default scorers --------------------------------------------------
     def _default_pre_scorer(self, rec, image) -> PreScores:
+        """Main pre-gate inputs (reference pre_filter.py:115-188): CLIP
+        (image, caption), aesthetic MLP, grounded object-area ratio,
+        background VQA for background_change. Fields stay None (permissive)
+        only when the corresponding model slot is absent."""
         h, w = image.shape[:2]
         s = PreScores(width=w, height=h)
         if self.tb.clip_image is not None and self.tb.clip_text is not None:
             ie = np.asarray(self.tb.clip_image(image))
             te = np.asarray(self.tb.clip_text(rec.input))
             s.clip = float((ie * te).sum(-1).squeeze())
+        aesthetic = self.tb.extra.get("aesthetic")
+        if aesthetic is not None:
+            s.aesthetic = float(aesthetic(image))
+        # object-area ratio via union_generation (pre_filter.py:164-170)
+        if self.tb.ground is not None and rec.edited_object:
+            g = self.tb.ground(image, rec.edited_object, mode="merge")
+            if g is not None:
+                s.object_ratio = float(g.union_ratio)
+        if rec.edit_type == "background_change" and self.tb.vqa_yes_no is not None:
+            bg = rec.extras.get("new background") or rec.output
+            s.background_vqa_ok = not bool(self.tb.vqa_yes_no(
+                image, f"Is the background of this image similar to {bg}?"))
         return s
 
     def _default_post_scorer(self, rec, image, outcome: EditOutcome) -> Scores:
+        """Per-type predicate inputs (post_filter.py:15-79): CLIP,
+        directional CLIP, pixel L1, detector existence, VQA, OCR match."""
         s = Scores()
+        edited = outcome.edited
         if self.tb.clip_image is not None and self.tb.clip_text is not None \
-                and outcome.edited is not None:
-            ie = np.asarray(self.tb.clip_image(outcome.edited))
-            te = np.asarray(self.tb.clip_text(rec.output))
-            s.clip = float((ie * te).sum(-1).squeeze())
+                and edited is not None:
+            ie_t = np.asarray(self.tb.clip_image(edited))
+            te_t = np.asarray(self.tb.clip_text(rec.output))
+            s.clip = float((ie_t * te_t).sum(-1).squeeze())
+            # directional CLIP (utils.py:284-301)
+            from anyedit_tpu.filters.scorers import directional_clip_score
+            src_img = outcome.input_image if outcome.input_image is not None else image
+            ie_s = np.asarray(self.tb.clip_image(src_img))
+            te_s = np.asarray(self.tb.clip_text(rec.input))
+            s.dir_clip = float(np.asarray(directional_clip_score(
+                ie_s, ie_t, te_s, te_t)).squeeze())
+        if edited is not None:
+            src_img = outcome.input_image if outcome.input_image is not None else image
+            if src_img.shape == edited.shape:
+                s.l1 = float(np.mean(np.abs(
+                    src_img.astype(np.float32) - edited.astype(np.float32))) / 255.0)
         # detector-based (non-)existence check in the edited image
         # (reference filter_tool/utils.py:212-276 object_detection)
-        if self.tb.ground is not None and outcome.edited is not None:
+        if self.tb.ground is not None and edited is not None:
             phrase = rec.new_object if rec.edit_type == "replace" else rec.edited_object
             if phrase and rec.edit_type in ("add", "remove", "counting", "replace"):
-                g = self.tb.ground(outcome.edited, phrase, mode="merge")
+                g = self.tb.ground(edited, phrase, mode="merge")
                 present = g is not None and bool(np.any(np.asarray(g.mask)))
                 if present and outcome.mask is not None \
                         and rec.edit_type in ("remove", "counting"):
@@ -111,6 +198,29 @@ class FactoryExecutor:
                     inter = (np.asarray(g.mask) & outcome.mask).sum()
                     present = inter / max(1, np.asarray(g.mask).sum()) >= 0.2
                 s.object_present = present
+        if edited is not None and self.tb.vqa_yes_no is not None:
+            if rec.edit_type == "color_alter":
+                # blip2_color (utils.py:55-75): last word of the edit text
+                import re
+                words = re.findall(r"\w+", rec.edit)
+                color = words[-1] if words else ""
+                s.vqa_yes = bool(self.tb.vqa_yes_no(
+                    edited,
+                    f"Is the color of {rec.edited_object} close to {color}?"))
+            elif rec.edit_type == "background_change":
+                bg = rec.extras.get("new background") or rec.output
+                s.vqa_yes = bool(self.tb.vqa_yes_no(
+                    edited,
+                    f"Is the background of this image similar to {bg}?"))
+        if rec.edit_type == "textual_change" and self.tb.ocr is not None \
+                and edited is not None and outcome.input_image is not None:
+            from anyedit_tpu.filters.scorers import ocr_text_match
+            import re
+            quoted = re.findall(r'"([^"]+)"', rec.input) or [rec.input]
+            quoted_out = re.findall(r'"([^"]+)"', rec.output) or [rec.output]
+            s.ocr_match = (
+                ocr_text_match(self.tb.ocr(outcome.input_image), quoted[0])
+                and ocr_text_match(self.tb.ocr(edited), quoted_out[0]))
         return s
 
     # ---- main loop ------------------------------------------------------
@@ -130,17 +240,60 @@ class FactoryExecutor:
             import jax
             trace_ctx = jax.profiler.trace(cfg.profile_trace_dir)
 
+        bs = self.cfg.grounding_batch
+        batched = bs > 0 and getattr(self.tb.ground, "batch", None) is not None
         with trace_ctx:
-            for idx, rec in ledger.pending(records, shard):
-                try:
-                    self._run_one(rec, load_image, ledger, out_root)
-                except Exception as e:  # contain per record, keep the reason
-                    ledger.mark(rec, "failure",
-                                {"error": f"{type(e).__name__}: {e}",
-                                 "trace": traceback.format_exc(limit=3)})
+            if not batched:
+                for idx, rec in ledger.pending(records, shard):
+                    try:
+                        self._run_one(rec, load_image, ledger, out_root)
+                    except Exception as e:  # contain per record, keep reason
+                        ledger.mark(rec, "failure",
+                                    {"error": f"{type(e).__name__}: {e}",
+                                     "trace": traceback.format_exc(limit=3)})
+            else:
+                pending = list(ledger.pending(records, shard))
+                for c0 in range(0, len(pending), bs):
+                    chunk = pending[c0:c0 + bs]
+                    self._run_chunk(chunk, load_image, ledger, out_root, bs)
         report = {"counts": ledger.counts(), "stages": self.timer.report()}
         ledger.close()
         return report
+
+    def _run_chunk(self, chunk, load_image, ledger, out_root, bucket) -> None:
+        """Load a chunk, device-batch every batchable first grounding, then
+        stream records through their pipelines against the warm cache."""
+        loaded: dict[str, np.ndarray] = {}
+        todo = []   # (image, phrase, mode, count_k)
+        for idx, rec in chunk:
+            try:
+                with self.timer.stage("load"):
+                    loaded[rec.key()] = load_image(rec)
+            except Exception as e:
+                ledger.mark(rec, "failure",
+                            {"error": f"{type(e).__name__}: {e}"})
+                continue
+            spec = _first_ground_spec(rec)
+            if spec is not None:
+                todo.append((loaded[rec.key()],) + spec)
+        if todo:
+            with self.timer.stage("ground_batch"):
+                results = self.tb.ground.batch(
+                    [t[0] for t in todo], [t[1] for t in todo],
+                    modes=[t[2] for t in todo],
+                    count_ks=[t[3] for t in todo], bucket=bucket)
+            for (img, phrase, mode, ck), g in zip(todo, results):
+                self._gcache[(id(img), phrase, mode, ck)] = g
+        for idx, rec in chunk:
+            if rec.key() not in loaded:
+                continue
+            try:
+                self._run_one(rec, lambda r: loaded[r.key()], ledger, out_root)
+            except Exception as e:
+                ledger.mark(rec, "failure",
+                            {"error": f"{type(e).__name__}: {e}",
+                             "trace": traceback.format_exc(limit=3)})
+        self._gcache.clear()
 
     def _run_one(self, rec: InstructionRecord, load_image, ledger: RunLedger,
                  out_root: Path) -> None:

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 from pathlib import Path
-from typing import Any, Optional
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -31,15 +31,44 @@ from anyedit_tpu.models.gdino import GroundingDINO, GDINOConfig, GDINO_SWINB
 from anyedit_tpu.models.lama import LamaGenerator, LamaConfig, LAMA, pad_to_modulo
 from anyedit_tpu.models.sam import SAM, SAMConfig, SAM_VIT_H, SAM_PIXEL_MEAN, SAM_PIXEL_STD
 from anyedit_tpu.models.unet_sd import (
-    UNet2DCondition, UNetConfig, SD15_IP2P_UNET, SD15_INPAINT_UNET,
+    UNet2DCondition, UNetConfig, SD15_UNET, SD15_IP2P_UNET, SD15_INPAINT_UNET,
+    SDXL_UNET, SD21_ANYDOOR_UNET,
 )
 from anyedit_tpu.models.vae import AutoencoderKL, VAEConfig, SD_VAE
-from anyedit_tpu.models.clip import CLIPTextEncoder, CLIPTextConfig, CLIP_L_TEXT
+from anyedit_tpu.models.blip2 import Blip2VQA, QFormerConfig, BLIP2_QFORMER
+from anyedit_tpu.models.clip import (
+    CLIPTextEncoder, CLIPTextModel, CLIPTextConfig, CLIP_L_TEXT,
+    CLIP_BIGG_TEXT, CLIPVisionEncoder, CLIPVisionConfig, CLIP_L_VISION,
+    EVA_VIT_G,
+)
+from anyedit_tpu.models.controlnet import ControlNet
+from anyedit_tpu.models.ip_adapter import (
+    ImageProjection, IPAdapterWeights, cross_attn_sites, ip_adapter_processor,
+)
+from anyedit_tpu.models.flux import Flux, FluxConfig, FLUX_SCHNELL
+from anyedit_tpu.models.mmdit import MMDiT, MMDiTConfig, SD3_ULTRAEDIT
+from anyedit_tpu.models.ocr import OCRConfig, GOT_OCR
+from anyedit_tpu.models.t5 import T5Encoder, T5Config, T5_XXL
+from anyedit_tpu.models.depth import DepthAnythingV2, DPTConfig, DEPTH_ANYTHING_L, depth_to_u8
+from anyedit_tpu.models.hed import HED, scribble_postprocess
+from anyedit_tpu.models.segmentation import (
+    UperNetSegmenter, SegConfig, UPERNET_SWIN_T, render_segmentation,
+)
 from anyedit_tpu.ops.resize import (
     resize_image, normalize_to_unit, denormalize_to_u8, imagenet_normalize,
 )
-from anyedit_tpu.schedulers import make_noise_schedule, ddim_init, ddim_step
+from anyedit_tpu.schedulers import (
+    make_noise_schedule, add_noise, ddim_init, ddim_step,
+)
 from anyedit_tpu.diffusion import ip2p_edit, sample_inpaint
+from anyedit_tpu.diffusion.sampling import sample_text2img
+from anyedit_tpu.diffusion.ultraedit import ultraedit_edit, flux_sample
+
+# SD3/SDXL/Flux VAEs differ from SD1.x in channel count / scaling
+# (diffusers configs: SDXL 0.13025; SD3 & Flux 16-ch).
+SDXL_VAE = dataclasses.replace(SD_VAE, scaling_factor=0.13025)
+SD3_VAE = dataclasses.replace(SD_VAE, latent_channels=16, scaling_factor=1.5305)
+FLUX_VAE = dataclasses.replace(SD_VAE, latent_channels=16, scaling_factor=0.3611)
 
 
 @dataclasses.dataclass
@@ -50,8 +79,24 @@ class ZooConfig:
     lama: LamaConfig = LAMA
     ip2p_unet: UNetConfig = SD15_IP2P_UNET
     inpaint_unet: UNetConfig = SD15_INPAINT_UNET
+    sd_unet: UNetConfig = SD15_UNET            # 4-ch text2img
+    refine_unet: UNetConfig = SDXL_UNET        # img2img/consistency/material
+    anydoor_unet: UNetConfig = SD21_ANYDOOR_UNET
     vae: VAEConfig = SD_VAE
+    sdxl_vae: VAEConfig = SDXL_VAE
+    sd3_vae: VAEConfig = SD3_VAE
+    flux_vae: VAEConfig = FLUX_VAE
     text: CLIPTextConfig = CLIP_L_TEXT
+    text_g: CLIPTextConfig = CLIP_BIGG_TEXT    # SDXL second tower
+    vision: CLIPVisionConfig = CLIP_L_VISION   # clip_image / IP-Adapter tower
+    flux: FluxConfig = FLUX_SCHNELL
+    flux_text: T5Config = T5_XXL
+    mmdit: MMDiTConfig = SD3_ULTRAEDIT
+    depth_cfg: DPTConfig = DEPTH_ANYTHING_L
+    seg_cfg: SegConfig = UPERNET_SWIN_T
+    eva: CLIPVisionConfig = EVA_VIT_G       # BLIP-2 vision tower (EVA ViT-g)
+    qformer: QFormerConfig = BLIP2_QFORMER  # BLIP-2 Q-Former + LM
+    ocr: OCRConfig = GOT_OCR                # GOT-OCR2-class recognizer
     box_threshold: float = 0.25
     fused_diffusion_loop: bool = True   # False: per-step jit (fast compile)
 
@@ -69,12 +114,39 @@ class ModelZoo:
     """Builds jitted closures lazily — only the models a run touches compile."""
 
     def __init__(self, cfg: ZooConfig | None = None,
-                 weights_dir: str | Path | None = None, seed: int = 0):
+                 weights_dir: str | Path | None = None, seed: int = 0,
+                 allow_fallback_tokenizers: bool = False):
         self.cfg = cfg or ZooConfig()
         self.weights = Path(weights_dir) if weights_dir else None
         self.seed = seed
-        self.tokenizer = SimpleVocabTokenizer()
         self._cache: dict[str, Any] = {}
+        # Tokenizer selection: converted checkpoints are meaningless with
+        # the hash fallbacks (BERT WordPiece for grounding, CLIP BPE for the
+        # text towers) — fail loudly when weights exist but assets don't.
+        from anyedit_tpu.grounding.text import WordPieceTokenizer
+        from anyedit_tpu.models.clip_tokenizer import (
+            ClipBPETokenizer, SimpleClipTokenizer)
+        if self.weights is not None:
+            vocab = self.weights / "vocab.txt"
+            merges = next((p for p in (self.weights / "bpe_simple_vocab_16e6.txt.gz",
+                                       self.weights / "clip_merges.txt.gz",
+                                       self.weights / "clip_merges.txt")
+                           if p.exists()), None)
+            if (not vocab.exists() or merges is None) \
+                    and not allow_fallback_tokenizers:
+                raise FileNotFoundError(
+                    f"weights_dir={self.weights} is set but tokenizer assets "
+                    "are missing (need vocab.txt for grounding WordPiece and "
+                    "bpe_simple_vocab_16e6.txt.gz for CLIP BPE); converted "
+                    "checkpoints would silently receive hash-bucket token "
+                    "ids. Pass allow_fallback_tokenizers=True to override.")
+            self.tokenizer = (WordPieceTokenizer(vocab) if vocab.exists()
+                              else SimpleVocabTokenizer())
+            self.clip_tokenizer = (ClipBPETokenizer(merges) if merges
+                                   else SimpleClipTokenizer(self.cfg.text.vocab_size))
+        else:
+            self.tokenizer = SimpleVocabTokenizer()
+            self.clip_tokenizer = SimpleClipTokenizer(self.cfg.text.vocab_size)
 
     def _wf(self, name: str) -> Optional[Path]:
         return (self.weights / f"{name}.msgpack") if self.weights else None
@@ -141,6 +213,67 @@ class ModelZoo:
                 sel = jnp.where(jnp.asarray(keep)[:, None, None], sel, -1.0)
                 return grounding_result(sel, bx, sc, jnp.asarray(keep),
                                         (h, w), mode, count_k)
+
+            def ground_batch(images: list, phrases: list, modes=None,
+                             count_ks=None, bucket: int = 8):
+                """Device-batched grounding over up to `bucket` records: ONE
+                detector forward + ONE SAM encode for the whole chunk (the
+                per-record loop was the factory's throughput ceiling,
+                SURVEY §3.1). Pads to the bucket so each program compiles
+                once."""
+                nrec = len(images)
+                assert nrec <= bucket and nrec == len(phrases)
+                modes = modes or ["merge"] * nrec
+                count_ks = count_ks or [None] * nrec
+                det_in = np.zeros((bucket, size, size, 3), np.float32)
+                ids_a = np.zeros((bucket, tlen), np.int32)
+                mask_a = np.zeros((bucket, tlen), bool)
+                sam_in = np.zeros((bucket, c.sam.img_size, c.sam.img_size, 3),
+                                  np.float32)
+                spans, hws = [], []
+                for i, (img, phrase) in enumerate(zip(images, phrases)):
+                    img01 = jnp.asarray(img, jnp.float32) / 255.0
+                    det_in[i] = np.asarray(imagenet_normalize(
+                        resize_image(img01, size, size, "bilinear")))
+                    caption = phrase if phrase.endswith(".") else phrase + "."
+                    enc = self.tokenizer.encode(caption)
+                    n = min(len(enc.ids), tlen)
+                    ids_a[i, :n] = enc.ids[:n]
+                    mask_a[i, :n] = True
+                    span = phrase_token_spans(enc, caption, [phrase])[0]
+                    spans.append(span if span[1] > span[0]
+                                 else (1, max(2, n - 1)))
+                    hws.append(img.shape[:2])
+                    sam_in[i] = np.asarray(
+                        (resize_image(jnp.asarray(img, jnp.float32),
+                                      c.sam.img_size, c.sam.img_size,
+                                      "bilinear") - SAM_PIXEL_MEAN)
+                        / SAM_PIXEL_STD)
+                logits, boxes = gd_fn(jnp.asarray(det_in), jnp.asarray(ids_a),
+                                      jnp.asarray(mask_a))
+                embs = sam_enc(jnp.asarray(sam_in))
+                out = []
+                for i in range(nrec):
+                    h, w = hws[i]
+                    bx, sc, keep = select_boxes(logits[i], boxes[i], spans[i],
+                                                (h, w),
+                                                box_threshold=c.box_threshold)
+                    if not bool(np.any(np.asarray(keep))):
+                        out.append(None)
+                        continue
+                    scale = jnp.asarray([c.sam.img_size / w, c.sam.img_size / h,
+                                         c.sam.img_size / w, c.sam.img_size / h])
+                    masks, iou = sam_dec(embs[i:i + 1], (bx * scale)[None])
+                    best = jnp.argmax(iou, axis=-1)
+                    sel = masks[jnp.arange(masks.shape[0]), best]
+                    sel = resize_image(sel[..., None].astype(jnp.float32),
+                                       h, w, "bilinear")[..., 0]
+                    sel = jnp.where(jnp.asarray(keep)[:, None, None], sel, -1.0)
+                    out.append(grounding_result(sel, bx, sc, jnp.asarray(keep),
+                                                (h, w), modes[i], count_ks[i]))
+                return out
+
+            ground.batch = ground_batch
             return ground
         return self._get("ground", build)
 
@@ -161,34 +294,104 @@ class ModelZoo:
             return inpaint
         return self._get("inpaint", build)
 
+    # ---- tokenization helpers -------------------------------------------
+    def _ids(self, text: str, max_len: int, vocab_size: int | None = None
+             ) -> np.ndarray:
+        """BERT-style ids (grounding / T5-fallback / VQA questions)."""
+        enc = self.tokenizer.encode(text)
+        ids_a = np.zeros((1, max_len), np.int32)
+        n = min(max_len, len(enc.ids))
+        ids_a[0, :n] = enc.ids[:n]
+        if vocab_size is not None:
+            ids_a %= vocab_size
+        return ids_a
+
+    def _clip_ids(self, text: str, max_len: int) -> np.ndarray:
+        """CLIP BPE ids, EOT-padded (HF CLIPTokenizer convention: pooled =
+        first-argmax token = the real EOT)."""
+        ids = self.clip_tokenizer.encode(text)
+        if len(ids) > max_len:                   # keep EOT when truncating
+            ids = ids[:max_len - 1] + [ids[-1]]
+        ids_a = np.full((1, max_len), ids[-1], np.int32)
+        ids_a[0, :len(ids)] = ids
+        return ids_a
+
     # ---- diffusion editors ---------------------------------------------
-    def _text_encoder(self):
+    def _text_raw(self, cache_name: str, tcfg: CLIPTextConfig):
+        """CLIP tower: text → (hidden (1,L,H), pooled (1,H)), both fp32."""
         def build():
-            te = CLIPTextEncoder(self.cfg.text)
-            ids = jnp.zeros((1, 77), jnp.int32)
-            params = load_params(te, (ids,), self._wf("clip_text"), self.seed)
+            te = CLIPTextEncoder(tcfg)
+            ml = tcfg.max_len
+            ids = jnp.zeros((1, ml), jnp.int32)
+            params = load_params(te, (ids,), self._wf(cache_name), self.seed)
             fn = jax.jit(lambda ids: te.apply(params, ids))
 
-            def encode(text: str) -> jnp.ndarray:
-                enc = self.tokenizer.encode(text)
-                ids_a = np.zeros((1, 77), np.int32)
-                n = min(77, len(enc.ids))
-                ids_a[0, :n] = enc.ids[:n]
-                hidden, _ = fn(jnp.asarray(ids_a))
-                return hidden
+            def encode(text: str):
+                return fn(jnp.asarray(self._clip_ids(text, ml)))
             return encode
-        return self._get("text_enc", build)
+        return self._get(cache_name, build)
 
-    def _vae(self):
+    def _text_encoder(self):
+        """hidden-states-only closure (the SD UNet context input)."""
+        raw = self._text_raw("clip_text", self.cfg.text)
+        return lambda text: raw(text)[0]
+
+    def _text_xl(self):
+        """SDXL dual-tower conditioning: text → (ctx (1,77,768+1280),
+        pooled_g (1,1280)) — CLIP-L hidden ⊕ OpenCLIP-bigG hidden; the
+        pooled micro-conditioning comes from the bigG tower (diffusers
+        SDXL pipeline convention)."""
+        raw_l = self._text_raw("clip_text", self.cfg.text)
+        raw_g = self._text_raw("clip_text_g", self.cfg.text_g)
+
+        def encode(text: str):
+            hl, _ = raw_l(text)
+            hg, pg = raw_g(text)
+            return jnp.concatenate([hl, hg], axis=-1), pg
+        return encode
+
+    def _t5(self):
+        """T5 encoder (Flux/SD3 long-text context): text → (1,L,dim)."""
         def build():
-            vae = AutoencoderKL(self.cfg.vae)
+            t5 = T5Encoder(self.cfg.flux_text)
+            ml = 77
+            ids = jnp.zeros((1, ml), jnp.int32)
+            params = load_params(t5, (ids,), self._wf("t5"), self.seed)
+            fn = jax.jit(lambda ids: t5.apply(params, ids))
+
+            def encode(text: str):
+                ids_a = self._ids(text, ml, self.cfg.flux_text.vocab_size)
+                return fn(jnp.asarray(ids_a))
+            return encode
+        return self._get("t5", build)
+
+    def _vae_named(self, cache_name: str, vcfg: VAEConfig):
+        def build():
+            vae = AutoencoderKL(vcfg)
             size = self.cfg.canvas.edit_size
             px = jnp.zeros((1, size, size, 3), jnp.bfloat16)
-            params = load_params(vae, (px,), self._wf("vae"), self.seed)
+            params = load_params(vae, (px,), self._wf(cache_name), self.seed)
             enc = jax.jit(lambda p: vae.apply(params, p, method=AutoencoderKL.encode))
             dec = jax.jit(lambda z: vae.apply(params, z, method=AutoencoderKL.decode))
             return enc, dec
-        return self._get("vae", build)
+        return self._get(cache_name, build)
+
+    def _vae(self):
+        return self._vae_named("vae", self.cfg.vae)
+
+    # pixel <-> latent helpers (shared by every diffusion builder)
+    def _to_latents(self, image_u8, enc, scaling: float) -> jnp.ndarray:
+        size = self.cfg.canvas.edit_size
+        img = resize_image(jnp.asarray(image_u8, jnp.float32), size, size,
+                           "lanczos")
+        return enc(normalize_to_unit(img)[None].astype(jnp.bfloat16))[0] * scaling
+
+    def _from_latents(self, lat, dec, scaling: float, out_hw) -> np.ndarray:
+        img = dec((lat / scaling).astype(jnp.bfloat16))[0]
+        u8 = denormalize_to_u8(img)
+        h, w = out_hw
+        return np.asarray(resize_image(u8.astype(jnp.float32), h, w,
+                                       "lanczos").astype(jnp.uint8))
 
     def ip2p(self):
         def build():
@@ -246,26 +449,28 @@ class ModelZoo:
         (reference cldm/cldm.py:307 + ldm encoders modules.py:279)."""
         def build():
             import dataclasses as dc
-            from anyedit_tpu.models.controlnet import ControlNet
             from anyedit_tpu.models.dinov2 import DinoV2, DINOV2_L
             from anyedit_tpu.schedulers import ddim_init, ddim_step
             from flax import linen as nn
 
             c = self.cfg
-            unet_cfg = dc.replace(c.ip2p_unet, in_channels=4)
+            # SD2.1-class AnyDoor (anydoor.yaml: context 1024, head_channels
+            # 64, hint_channels 4) — NOT the SD1.5 IP2P wiring.
+            unet_cfg = c.anydoor_unet
             unet = UNet2DCondition(unet_cfg)
             cn = ControlNet(unet_cfg)
             dino_cfg = DINOV2_L if self.weights else dc.replace(
                 DINOV2_L, img_size=56, depth=2, dim=64, heads=2)
             dino = DinoV2(dino_cfg)
+            n_dino_tokens = (dino_cfg.img_size // dino_cfg.patch) ** 2 + 1
 
             size = c.canvas.edit_size
             hw = size // c.canvas.latent_down
             x = jnp.zeros((2, hw, hw, 4), jnp.bfloat16)
             t = jnp.zeros((2,), jnp.int32)
-            ctx = jnp.zeros((2, 2, unet_cfg.context_dim), jnp.bfloat16)
+            ctx = jnp.zeros((2, n_dino_tokens, unet_cfg.context_dim), jnp.bfloat16)
             hint_size = hw * 8  # hint enters at 8x latent res (cldm convention)
-            hint = jnp.zeros((2, hint_size, hint_size, 5), jnp.float32)
+            hint = jnp.zeros((2, hint_size, hint_size, 4), jnp.float32)
             up = load_params(unet, (x, t, ctx), self._wf("unet_anydoor"), self.seed)
             cp = load_params(cn, (x, t, ctx, hint), self._wf("controlnet_anydoor"),
                              self.seed)
@@ -274,12 +479,14 @@ class ModelZoo:
             dp = load_params(dino, (dpx,), self._wf("dinov2"), self.seed)
 
             class _Proj(nn.Module):
+                """DINOv2 token sequence → UNet context (the reference's
+                FrozenDinoV2Encoder projector, ldm encoders modules.py:279)."""
                 @nn.compact
                 def __call__(self, e):
                     return nn.Dense(unet_cfg.context_dim, dtype=jnp.float32)(e)
 
             proj = _Proj()
-            pp = load_params(proj, (jnp.zeros((1, dino_cfg.dim)),),
+            pp = load_params(proj, (jnp.zeros((1, n_dino_tokens, dino_cfg.dim)),),
                              self._wf("anydoor_proj"), self.seed)
             ns = make_noise_schedule()
             enc, dec = self._vae()
@@ -309,17 +516,18 @@ class ModelZoo:
                                    dino_cfg.img_size, dino_cfg.img_size,
                                    "bilinear")
                 ref = imagenet_normalize(ref)[None]
-                demb = dino.apply(dp, ref)["cls"]
-                ctx1 = proj.apply(pp, demb)[:, None, :]           # (1,1,C)
-                ctx1 = jnp.tile(ctx1, (1, 2, 1)).astype(jnp.bfloat16)
+                dout = dino.apply(dp, ref)
+                # full token sequence (cls ⊕ patches) — the reference
+                # conditions on the DINOv2 token sequence, not one CLS token
+                toks = jnp.concatenate([dout["cls"][:, None, :], dout["patch"]],
+                                       axis=1)
+                ctx1 = proj.apply(pp, toks).astype(jnp.bfloat16)  # (1,N+1,C)
                 ctx2 = jnp.concatenate([ctx1, jnp.zeros_like(ctx1)], axis=0)
                 col = resize_image(jnp.asarray(collage_u8, jnp.float32) / 255.0,
                                    hint_size, hint_size, "bilinear")
                 hfm = resize_image(jnp.asarray(hf_map, jnp.float32)[..., None],
                                    hint_size, hint_size, "bilinear")
-                mk = resize_image(jnp.asarray(mask, jnp.float32)[..., None],
-                                  hint_size, hint_size, "nearest")
-                hint1 = jnp.concatenate([col, hfm / 255.0, mk], axis=-1)[None]
+                hint1 = jnp.concatenate([col, hfm / 255.0], axis=-1)[None]
                 hint2 = jnp.concatenate([hint1, hint1], axis=0)
                 img = resize_image(jnp.asarray(target_u8, jnp.float32),
                                    size, size, "lanczos")
@@ -407,11 +615,15 @@ class ModelZoo:
                                        steps, cfg_scale)
                 imgs = dec((lat / c.vae.scaling_factor).astype(jnp.bfloat16))
                 u8 = np.asarray(denormalize_to_u8(imgs))
-                # keyword token position in the tar caption
-                enc = self.tokenizer.encode(tar_caption)
-                from anyedit_tpu.grounding.text import phrase_token_spans
-                span = phrase_token_spans(enc, tar_caption, [keyword])[0]
-                tok = span[0] if span[1] > span[0] else 1
+                # keyword token position in the tar caption (CLIP space:
+                # subsequence match of the keyword's BPE ids sans SOT/EOT)
+                cap_ids = self.clip_tokenizer.encode(tar_caption)
+                kw_ids = self.clip_tokenizer.encode(keyword)[1:-1]
+                tok = 1
+                for i in range(1, len(cap_ids) - len(kw_ids)):
+                    if cap_ids[i:i + len(kw_ids)] == kw_ids:
+                        tok = i
+                        break
                 ca_hw = int(np.sqrt(acc.shape[1]))
                 mask = mask_from_ca(acc[1:2] / max(1, steps), min(tok, acc.shape[-1] - 1),
                                     ca_hw)
@@ -422,10 +634,694 @@ class ModelZoo:
             return run
         return self._get("p2p_pair", build)
 
+    # ---- SD inpainting (replace / background_change) ---------------------
+    def sd_inpainter(self):
+        """(image_u8, mask01 HW, prompt, negative="") → image_u8.
+
+        The reference loads StableDiffusionInpaintPipeline per process
+        (local_pipeline_tool.py:396-526); here the 9-channel inpaint UNet +
+        `sample_inpaint` run as one fused loop."""
+        def build():
+            import functools
+            c = self.cfg
+            unet = UNet2DCondition(c.inpaint_unet)
+            hw = c.canvas.edit_size // c.canvas.latent_down
+            x = jnp.zeros((2, hw, hw, c.inpaint_unet.in_channels), jnp.bfloat16)
+            t = jnp.zeros((2,), jnp.int32)
+            ctx = jnp.zeros((2, c.text.max_len, c.inpaint_unet.context_dim),
+                            jnp.bfloat16)
+            params = load_params(unet, (x, t, ctx), self._wf("unet_inpaint"),
+                                 self.seed)
+            ns = make_noise_schedule()
+            enc, dec = self._vae()
+            text = self._text_encoder()
+
+            @functools.partial(jax.jit, static_argnames=("steps",))
+            def run(params, lat, m, cond, uncond, k, steps, scale):
+                eps_fn = lambda x, t, c_: unet.apply(params, x, t, c_)
+                return sample_inpaint(eps_fn, ns, lat, m, cond, uncond, k,
+                                      num_steps=steps, guidance_scale=scale)
+
+            def inpaint(image_u8, mask01, prompt, negative="", steps=50,
+                        scale=7.5, seed=0):
+                lat = self._to_latents(image_u8, enc, c.vae.scaling_factor)
+                mh = resize_image(jnp.asarray(mask01, jnp.float32)[..., None],
+                                  hw, hw, "bilinear")
+                m = (mh > 0.25).astype(jnp.float32)[None]
+                cond = text(prompt).astype(jnp.bfloat16)
+                uncond = text(negative).astype(jnp.bfloat16)
+                out = run(params, lat, m, cond, uncond, jax.random.key(seed),
+                          steps, scale)
+                return self._from_latents(out, dec, c.vae.scaling_factor,
+                                          image_u8.shape[:2])
+            return inpaint
+        return self._get("sd_inpaint", build)
+
+    # ---- CLIP similarity towers (filters, best-of-N selection) ----------
+    def clip_towers(self):
+        """(clip_image(image_u8) → (1,P) L2-normed, clip_text(text) → (1,P))
+        — the filter_tool/utils.py:15-40 scoring pair."""
+        def build():
+            c = self.cfg
+            vis = CLIPVisionEncoder(c.vision)
+            vpx = jnp.zeros((1, c.vision.image_size, c.vision.image_size, 3),
+                            jnp.float32)
+            vp = load_params(vis, (vpx,), self._wf("clip_vision"), self.seed)
+            vfn = jax.jit(lambda px: vis.apply(vp, px))
+
+            tm = CLIPTextModel(c.text, proj_dim=c.vision.proj_dim)
+            ids = jnp.zeros((1, c.text.max_len), jnp.int32)
+            tp = load_params(tm, (ids,), self._wf("clip_text_proj"), self.seed)
+            tfn = jax.jit(lambda ids: tm.apply(tp, ids))
+
+            def clip_image(image_u8):
+                px = resize_image(jnp.asarray(image_u8, jnp.float32) / 255.0,
+                                  c.vision.image_size, c.vision.image_size,
+                                  "bilinear")
+                px = imagenet_normalize(px)[None]
+                _, z = vfn(px)
+                return z
+
+            def clip_text(text: str):
+                return tfn(jnp.asarray(self._clip_ids(text, c.text.max_len)))
+            return clip_image, clip_text
+        return self._get("clip_towers", build)
+
+    def clip_patch_tokens(self):
+        """image_u8 → (1, N+1, H) vision patch tokens (IP-Adapter-Plus /
+        BLIP-2 tower input)."""
+        def build():
+            c = self.cfg
+            vis = CLIPVisionEncoder(c.vision)
+            vpx = jnp.zeros((1, c.vision.image_size, c.vision.image_size, 3),
+                            jnp.float32)
+            vp = load_params(vis, (vpx,), self._wf("clip_vision"), self.seed)
+            vfn = jax.jit(lambda px: vis.apply(vp, px))
+
+            def tokens(image_u8):
+                px = resize_image(jnp.asarray(image_u8, jnp.float32) / 255.0,
+                                  c.vision.image_size, c.vision.image_size,
+                                  "bilinear")
+                toks, _ = vfn(imagenet_normalize(px)[None])
+                return toks
+            return tokens
+        return self._get("clip_patch_tokens", build)
+
+    # ---- condition extractors (visual_condition_tool.py:33-164) ---------
+    def depth_fn(self):
+        def build():
+            c = self.cfg
+            m = DepthAnythingV2(c.depth_cfg)
+            s = c.depth_cfg.backbone.img_size
+            px = jnp.zeros((1, s, s, 3), jnp.float32)
+            params = load_params(m, (px,), self._wf("depth"), self.seed)
+            fn = jax.jit(lambda px: m.apply(params, px))
+
+            def depth(image_u8):
+                h, w = image_u8.shape[:2]
+                px = resize_image(jnp.asarray(image_u8, jnp.float32) / 255.0,
+                                  s, s, "bilinear")
+                d = fn(imagenet_normalize(px)[None])
+                d8 = depth_to_u8(d)[0]
+                return np.asarray(resize_image(
+                    d8[..., None].astype(jnp.float32), h, w,
+                    "bilinear")[..., 0].astype(jnp.uint8))
+            return depth
+        return self._get("depth", build)
+
+    def hed_fn(self):
+        def build():
+            c = self.cfg
+            m = HED()
+            size = c.canvas.edit_size
+            px = jnp.zeros((1, size, size, 3), jnp.float32)
+            params = load_params(m, (px,), self._wf("hed"), self.seed)
+            fn = jax.jit(lambda px: m.apply(params, px))
+
+            def hed(image_u8):
+                h, w = image_u8.shape[:2]
+                px = resize_image(jnp.asarray(image_u8, jnp.float32),
+                                  size, size, "bilinear")[None]
+                e = fn(px)[0]
+                return np.asarray(resize_image(e[..., None], h, w,
+                                               "bilinear")[..., 0])
+            return hed
+        return self._get("hed", build)
+
+    def seg_fn(self):
+        def build():
+            c = self.cfg
+            m = UperNetSegmenter(c.seg_cfg)
+            s = c.canvas.edit_size   # Swin is size-agnostic; pin one bucket
+            px = jnp.zeros((1, s, s, 3), jnp.float32)
+            params = load_params(m, (px,), self._wf("seg"), self.seed)
+            fn = jax.jit(lambda px: m.apply(params, px))
+
+            def seg(image_u8):
+                h, w = image_u8.shape[:2]
+                px = resize_image(jnp.asarray(image_u8, jnp.float32) / 255.0,
+                                  s, s, "bilinear")
+                logits = fn(imagenet_normalize(px)[None])
+                rendered = render_segmentation(logits)[0]
+                return np.asarray(resize_image(
+                    jnp.asarray(rendered, jnp.float32), h, w,
+                    "nearest").astype(jnp.uint8))
+            return seg
+        return self._get("seg", build)
+
+    @staticmethod
+    def canny_fn(image_u8):
+        from anyedit_tpu.ops.canny import canny, rgb_to_gray
+        return np.asarray(canny(rgb_to_gray(jnp.asarray(image_u8))))
+
+    # ---- Flux (textual_change pair synthesis + text2img) -----------------
+    def _flux(self):
+        def build():
+            import functools
+            c = self.cfg
+            flux = Flux(c.flux)
+            hw = c.canvas.edit_size // c.canvas.latent_down
+            x = jnp.zeros((1, hw, hw, c.flux.in_channels), jnp.bfloat16)
+            t = jnp.zeros((1,), jnp.float32)
+            ctx = jnp.zeros((1, 77, c.flux.context_dim), jnp.bfloat16)
+            pooled = jnp.zeros((1, c.flux.pooled_dim), jnp.float32)
+            params = load_params(flux, (x, t, ctx, pooled), self._wf("flux"),
+                                 self.seed)
+            _, dec = self._vae_named("flux_vae", c.flux_vae)
+            t5 = self._t5()
+            clip = self._text_raw("clip_text", self.cfg.text)
+
+            @functools.partial(jax.jit, static_argnames=("steps",))
+            def run(params, ctx, pooled, k, steps):
+                v_fn = lambda x, t, c_, p_: flux.apply(params, x, t, c_, p_)
+                return flux_sample(v_fn, (1, hw, hw, c.flux.in_channels),
+                                   ctx, pooled, k, num_steps=steps)
+
+            def sample(prompt: str, seed: int, steps: int = 4, out_hw=None):
+                ctx = t5(prompt).astype(jnp.bfloat16)
+                if ctx.shape[-1] != c.flux.context_dim:
+                    raise ValueError("flux_text.dim must equal flux.context_dim")
+                _, pooled = clip(prompt)
+                out = run(params, ctx, pooled, jax.random.key(seed), steps)
+                size = self.cfg.canvas.edit_size
+                return self._from_latents(out, dec, c.flux_vae.scaling_factor,
+                                          out_hw or (size, size))
+            return sample
+        return self._get("flux", build)
+
+    def flux_pair_fn(self):
+        """textual_change: SAME seed for both captions (flux-schnell 4-step,
+        textual_change_tool.py:24-41)."""
+        sample = self._flux()
+
+        def pair(caption_a: str, caption_b: str, seed: int, steps: int = 4):
+            return sample(caption_a, seed, steps), sample(caption_b, seed, steps)
+        return pair
+
+    def text2img_fn(self):
+        """Flux single-image synthesis (local add's source regeneration,
+        local_pipeline_tool.py:125-132)."""
+        sample = self._flux()
+        return lambda prompt, seed=0: sample(prompt, seed)
+
+    # ---- MasaCtrl pair (action_change) -----------------------------------
+    def masactrl_pair_fn(self):
+        """(src_caption, tgt_caption, seed) → (src_u8, tgt_u8): shared start
+        latent; target borrows source self-attn K/V from step 5 / layer 12
+        (action_change_tool.py:15-46)."""
+        def build():
+            import functools
+            from anyedit_tpu.edits.action_change import consistent_synthesis
+
+            c = self.cfg
+            unet = UNet2DCondition(c.sd_unet)
+            hw = c.canvas.edit_size // c.canvas.latent_down
+            x = jnp.zeros((4, hw, hw, c.sd_unet.in_channels), jnp.bfloat16)
+            t = jnp.zeros((4,), jnp.int32)
+            ctx = jnp.zeros((4, c.text.max_len, c.sd_unet.context_dim),
+                            jnp.bfloat16)
+            params = load_params(unet, (x, t, ctx), self._wf("unet_sd"), self.seed)
+            ns = make_noise_schedule()
+            _, dec = self._vae()
+            text = self._text_encoder()
+
+            @functools.partial(jax.jit, static_argnames=("steps",))
+            def run(params, ctx_src, ctx_tgt, uncond, k, steps):
+                ua = lambda x, t, c_, proc, extra: unet.apply(
+                    params, x, t, c_, processor=proc, extra=extra)
+                return consistent_synthesis(ua, ns, ctx_src, ctx_tgt, uncond,
+                                            k, latent_hw=hw,
+                                            channels=c.sd_unet.in_channels,
+                                            num_steps=steps)
+
+            def pair(src_caption, tgt_caption, seed, steps: int = 50):
+                cs = text(src_caption).astype(jnp.bfloat16)
+                ct = text(tgt_caption).astype(jnp.bfloat16)
+                un = text("").astype(jnp.bfloat16)
+                lat = run(params, cs, ct, un, jax.random.key(seed), steps)
+                size = self.cfg.canvas.edit_size
+                imgs = dec((lat / c.vae.scaling_factor).astype(jnp.bfloat16))
+                u8 = np.asarray(denormalize_to_u8(imgs))
+                return u8[0], u8[1]
+            return pair
+        return self._get("masactrl_pair", build)
+
+    # ---- SDXL refine stack (implicit stages 2-4, material transfer) ------
+    def _refine_unet(self):
+        def build():
+            c = self.cfg
+            unet = UNet2DCondition(c.refine_unet)
+            hw = c.canvas.edit_size // c.canvas.latent_down
+            ctx_dim = c.refine_unet.context_dim
+            x = jnp.zeros((2, hw, hw, c.refine_unet.in_channels), jnp.bfloat16)
+            t = jnp.zeros((2,), jnp.int32)
+            ctx = jnp.zeros((2, c.text.max_len, ctx_dim), jnp.bfloat16)
+            kw = {}
+            if c.refine_unet.addition_embed_dim:
+                kw = dict(pooled_text=jnp.zeros((2, c.refine_unet.addition_embed_dim)),
+                          time_ids=jnp.zeros((2, c.refine_unet.addition_time_dim)))
+            wf = self._wf("unet_refine")
+            if wf is not None and Path(wf).exists():
+                from flax.serialization import msgpack_restore
+                params = msgpack_restore(Path(wf).read_bytes())
+            else:
+                params = jax.jit(lambda k: unet.init(k, x, t, ctx, **kw))(
+                    jax.random.key(self.seed))
+            return unet, params
+        return self._get("refine_unet", build)
+
+    def _xl_cond(self, prompt: str, negative: str = ""):
+        """(ctx2 (2,L,D), pooled2, time_ids2) cond/uncond conditioning rows."""
+        c = self.cfg
+        if c.refine_unet.addition_embed_dim:
+            text_xl = self._text_xl()
+            hc, pc = text_xl(prompt)
+            hu, pu = text_xl(negative)
+            size = float(c.canvas.edit_size)
+            tid = jnp.asarray([[size, size, 0.0, 0.0, size, size]])
+            if c.refine_unet.addition_time_dim != 6:
+                tid = jnp.zeros((1, c.refine_unet.addition_time_dim))
+            return (jnp.concatenate([hc, hu], 0).astype(jnp.bfloat16),
+                    jnp.concatenate([pc, pu], 0),
+                    jnp.concatenate([tid, tid], 0))
+        text = self._text_encoder()
+        hc, hu = text(prompt), text(negative)
+        return jnp.concatenate([hc, hu], 0).astype(jnp.bfloat16), None, None
+
+    def img2img_fn(self):
+        """SDEdit img2img refine (implicit_tool.py:129-148):
+        (image_u8, prompt, strength, seed) → image_u8."""
+        def build():
+            import functools
+            from anyedit_tpu.diffusion.sampling import sample_img2img
+
+            c = self.cfg
+            unet, params = self._refine_unet()
+            vname = "sdxl_vae" if c.refine_unet.addition_embed_dim else "vae"
+            vcfg = c.sdxl_vae if c.refine_unet.addition_embed_dim else c.vae
+            enc, dec = self._vae_named(vname, vcfg)
+            ns = make_noise_schedule()
+
+            @functools.partial(jax.jit,
+                               static_argnames=("steps", "strength"))
+            def run(params, lat, ctx2, pooled2, tid2, k, steps, strength, scale):
+                def eps_fn(x, t, c_):
+                    kw = {} if pooled2 is None else dict(pooled_text=pooled2,
+                                                         time_ids=tid2)
+                    return unet.apply(params, x, t, c_, **kw)
+                return sample_img2img(eps_fn, ns, lat, ctx2[:1], ctx2[1:],
+                                      k, num_steps=steps, strength=strength,
+                                      guidance_scale=scale)
+
+            def img2img(image_u8, prompt, strength=0.5, seed=0, steps=30,
+                        scale=7.5):
+                lat = self._to_latents(image_u8, enc, vcfg.scaling_factor)
+                ctx2, pooled2, tid2 = self._xl_cond(prompt)
+                out = run(params, lat, ctx2, pooled2, tid2,
+                          jax.random.key(seed), steps, round(float(strength), 3),
+                          scale)
+                return self._from_latents(out, dec, vcfg.scaling_factor,
+                                          image_u8.shape[:2])
+            return img2img
+        return self._get("img2img", build)
+
+    def _control_unet(self, hint_channels: int, cache: str, wname: str):
+        """ControlNet branch on the refine UNet config."""
+        def build():
+            c = self.cfg
+            cn = ControlNet(c.refine_unet)
+            hw = c.canvas.edit_size // c.canvas.latent_down
+            x = jnp.zeros((2, hw, hw, c.refine_unet.in_channels), jnp.bfloat16)
+            t = jnp.zeros((2,), jnp.int32)
+            ctx = jnp.zeros((2, c.text.max_len, c.refine_unet.context_dim),
+                            jnp.bfloat16)
+            hint = jnp.zeros((2, hw * 8, hw * 8, hint_channels), jnp.float32)
+            kw = {}
+            if c.refine_unet.addition_embed_dim:
+                kw = dict(pooled_text=jnp.zeros((2, c.refine_unet.addition_embed_dim)),
+                          time_ids=jnp.zeros((2, c.refine_unet.addition_time_dim)))
+            wf = self._wf(wname)
+            if wf is not None and Path(wf).exists():
+                from flax.serialization import msgpack_restore
+                params = msgpack_restore(Path(wf).read_bytes())
+            else:
+                params = jax.jit(lambda k: cn.init(k, x, t, ctx, hint, **kw))(
+                    jax.random.key(self.seed))
+            return cn, params
+        return self._get(cache, build)
+
+    def _ip_adapter(self):
+        """IP-Adapter on the refine UNet: image_u8 → per-site K/V dict."""
+        def build():
+            c = self.cfg
+            names, dims = cross_attn_sites(c.refine_unet)
+            ipw = IPAdapterWeights(names, dims, c.refine_unet.context_dim)
+            proj = ImageProjection(num_tokens=4,
+                                   context_dim=c.refine_unet.context_dim)
+            zp = jnp.zeros((1, c.vision.proj_dim))
+            pp = load_params(proj, (zp,), self._wf("ip_proj"), self.seed)
+            tok = proj.apply(pp, zp)
+            wp = load_params(ipw, (tok,), self._wf("ip_adapter"), self.seed)
+            clip_image, _ = self.clip_towers()
+
+            def site_kv(image_u8, uncond: bool = False):
+                emb = clip_image(image_u8)
+                tokens = proj.apply(pp, emb)
+                if uncond:
+                    tokens = jnp.zeros_like(tokens)
+                return ipw.apply(wp, tokens)
+            return site_kv
+        return self._get("ip_adapter", build)
+
+    def canny_consistency_fn(self):
+        """Implicit stage 4 (implicit_tool.py:174-235): regenerate with a
+        canny ControlNet hint + IP-Adapter conditioning on the candidate
+        itself, keeping structure while harmonizing appearance."""
+        def build():
+            import functools
+            c = self.cfg
+            unet, params = self._refine_unet()
+            cn, cn_params = self._control_unet(3, "cn_canny", "controlnet_canny")
+            site_kv_fn = self._ip_adapter()
+            vname = "sdxl_vae" if c.refine_unet.addition_embed_dim else "vae"
+            vcfg = c.sdxl_vae if c.refine_unet.addition_embed_dim else c.vae
+            enc, dec = self._vae_named(vname, vcfg)
+            ns = make_noise_schedule()
+            hw = c.canvas.edit_size // c.canvas.latent_down
+
+            @functools.partial(jax.jit,
+                               static_argnames=("steps", "strength"))
+            def run(params, cn_params, lat, hint2, ctx2, pooled2, tid2,
+                    site_kv2, k, steps, strength, scale):
+                from anyedit_tpu.diffusion.sampling import sample_img2img
+                proc = ip_adapter_processor(site_kv2)
+
+                def eps_fn(x, t, c_):
+                    kw = {} if pooled2 is None else dict(pooled_text=pooled2,
+                                                         time_ids=tid2)
+                    res, mid = cn.apply(cn_params, x, t, c_, hint2, **kw)
+                    return unet.apply(params, x, t, c_, processor=proc,
+                                      controlnet_residuals=res,
+                                      controlnet_mid=mid, **kw)
+                return sample_img2img(eps_fn, ns, lat, ctx2[:1], ctx2[1:], k,
+                                      num_steps=steps, strength=strength,
+                                      guidance_scale=scale)
+
+            def consistency(image_u8, prompt, seed=0, steps=30,
+                            strength=0.6, scale=7.5):
+                lat = self._to_latents(image_u8, enc, vcfg.scaling_factor)
+                edges = self.canny_fn(image_u8).astype(np.float32)
+                hint = resize_image(jnp.asarray(edges)[..., None],
+                                    hw * 8, hw * 8, "bilinear") / 255.0
+                hint2 = jnp.tile(jnp.tile(hint[None], (1, 1, 1, 3)), (2, 1, 1, 1))
+                ctx2, pooled2, tid2 = self._xl_cond(prompt)
+                kv_c = site_kv_fn(image_u8)
+                kv_u = site_kv_fn(image_u8, uncond=True)
+                site_kv2 = {n: (jnp.concatenate([kc, ku], 0),
+                                jnp.concatenate([vc, vu], 0))
+                            for (n, (kc, vc)), (ku, vu)
+                            in zip(kv_c.items(), kv_u.values())}
+                out = run(params, cn_params, lat, hint2, ctx2, pooled2, tid2,
+                          site_kv2, jax.random.key(seed), steps,
+                          round(float(strength), 3), scale)
+                return self._from_latents(out, dec, vcfg.scaling_factor,
+                                          image_u8.shape[:2])
+            return consistency
+        return self._get("canny_consistency", build)
+
+    def sdxl_material_fn(self):
+        """material_transfer (material_transfer_tool.py:190-198): depth
+        ControlNet + IP-Adapter material exemplar, masked to the object."""
+        def build():
+            import functools
+            c = self.cfg
+            unet, params = self._refine_unet()
+            cn, cn_params = self._control_unet(3, "cn_depth", "controlnet_depth")
+            site_kv_fn = self._ip_adapter()
+            vname = "sdxl_vae" if c.refine_unet.addition_embed_dim else "vae"
+            vcfg = c.sdxl_vae if c.refine_unet.addition_embed_dim else c.vae
+            enc, dec = self._vae_named(vname, vcfg)
+            ns = make_noise_schedule()
+            hw = c.canvas.edit_size // c.canvas.latent_down
+
+            @functools.partial(jax.jit, static_argnames=("steps", "strength"))
+            def run(params, cn_params, lat, m, hint2, ctx2, pooled2, tid2,
+                    site_kv2, k, steps, strength, scale):
+                from anyedit_tpu.diffusion.sampling import sample_img2img
+                proc = ip_adapter_processor(site_kv2)
+
+                def eps_fn(x, t, c_):
+                    kw = {} if pooled2 is None else dict(pooled_text=pooled2,
+                                                         time_ids=tid2)
+                    res, mid = cn.apply(cn_params, x, t, c_, hint2, **kw)
+                    return unet.apply(params, x, t, c_, processor=proc,
+                                      controlnet_residuals=res,
+                                      controlnet_mid=mid, **kw)
+                out = sample_img2img(eps_fn, ns, lat, ctx2[:1], ctx2[1:], k,
+                                     num_steps=steps, strength=strength,
+                                     guidance_scale=scale)
+                return m * out + (1.0 - m) * lat   # keep background latents
+
+            def material(init_u8, mask, depth_u8, exemplar_u8, seed=0,
+                         steps=30, strength=0.9, scale=7.5):
+                lat = self._to_latents(init_u8, enc, vcfg.scaling_factor)
+                d = resize_image(jnp.asarray(depth_u8, jnp.float32)[..., None],
+                                 hw * 8, hw * 8, "bilinear") / 255.0
+                hint2 = jnp.tile(jnp.tile(d[None], (1, 1, 1, 3)), (2, 1, 1, 1))
+                mh = resize_image(jnp.asarray(mask, jnp.float32)[..., None],
+                                  hw, hw, "bilinear")
+                m = (mh > 0.25).astype(jnp.float32)[None]
+                prompt = "high quality, detailed material texture"
+                ctx2, pooled2, tid2 = self._xl_cond(prompt)
+                kv_c = site_kv_fn(exemplar_u8)
+                kv_u = site_kv_fn(exemplar_u8, uncond=True)
+                site_kv2 = {n: (jnp.concatenate([kc, ku], 0),
+                                jnp.concatenate([vc, vu], 0))
+                            for (n, (kc, vc)), (ku, vu)
+                            in zip(kv_c.items(), kv_u.values())}
+                out = run(params, cn_params, lat, m, hint2, ctx2, pooled2,
+                          tid2, site_kv2, jax.random.key(seed), steps,
+                          round(float(strength), 3), scale)
+                return self._from_latents(out, dec, vcfg.scaling_factor,
+                                          init_u8.shape[:2])
+            return material
+        return self._get("sdxl_material", build)
+
+    # ---- SD3 UltraEdit (appearance/material_alter) ------------------------
+    def ultraedit_fn(self):
+        """(image_u8, instruction, mask01|None, steps) → image_u8 — the
+        masked 3-way-CFG flow edit (attribute_pipeline_tool.py:85-155)."""
+        def build():
+            import functools
+            c = self.cfg
+            mmdit = MMDiT(c.mmdit)
+            hw = c.canvas.edit_size // c.canvas.latent_down
+            lc = c.sd3_vae.latent_channels
+            x = jnp.zeros((3, hw, hw, c.mmdit.in_channels), jnp.bfloat16)
+            t = jnp.zeros((3,), jnp.float32)
+            ctx = jnp.zeros((3, 77, c.mmdit.context_dim), jnp.bfloat16)
+            pooled = jnp.zeros((3, c.mmdit.pooled_dim), jnp.float32)
+            params = load_params(mmdit, (x, t, ctx, pooled),
+                                 self._wf("mmdit_ultraedit"), self.seed)
+            enc, dec = self._vae_named("sd3_vae", c.sd3_vae)
+            t5 = self._t5()
+            clip_l = self._text_raw("clip_text", c.text)
+            clip_g = self._text_raw("clip_text_g", c.text_g)
+
+            def _cond(text: str):
+                ctx = t5(text)
+                _, pl = clip_l(text)
+                _, pg = clip_g(text)
+                pooled = jnp.concatenate([pl, pg], axis=-1)
+                if pooled.shape[-1] != c.mmdit.pooled_dim:
+                    pooled = jnp.pad(pooled,
+                                     ((0, 0), (0, max(0, c.mmdit.pooled_dim
+                                                      - pooled.shape[-1])))
+                                     )[:, :c.mmdit.pooled_dim]
+                return ctx.astype(jnp.bfloat16), pooled
+
+            @functools.partial(jax.jit, static_argnames=("steps",))
+            def run(params, lat, m, cc, pc, cu, pu, k, steps, s_txt, s_img):
+                v_fn = lambda x, t, c_, p_: mmdit.apply(params, x, t, c_, p_)
+                return ultraedit_edit(v_fn, lat, cc, pc, cu, pu, k,
+                                      num_steps=steps, guidance_scale=s_txt,
+                                      image_guidance_scale=s_img, mask=m)
+
+            def edit(image_u8, instruction, mask01=None, steps=50,
+                     s_txt=8.0, s_img=1.5, seed=0):
+                lat = self._to_latents(image_u8, enc, c.sd3_vae.scaling_factor)
+                m = None
+                if mask01 is not None:
+                    mh = resize_image(jnp.asarray(mask01, jnp.float32)[..., None],
+                                      hw, hw, "bilinear")
+                    m = (mh > 0.25).astype(jnp.float32)[None]
+                cc, pc = _cond(instruction)
+                cu, pu = _cond("")
+                out = run(params, lat, m, cc, pc, cu, pu,
+                          jax.random.key(seed), steps, s_txt, s_img)
+                return self._from_latents(out, dec, c.sd3_vae.scaling_factor,
+                                          image_u8.shape[:2])
+            return edit
+        return self._get("ultraedit", build)
+
+    # ---- aesthetic predictor (pre-filter gate) ----------------------------
+    def aesthetic_fn(self):
+        """image_u8 → float — the LAION aesthetic MLP over the CLIP-L image
+        embedding (pre_filter.py:38-81, gate > 2 at :154-161)."""
+        def build():
+            from anyedit_tpu.filters.scorers import AestheticMLP
+
+            clip_image, _ = self.clip_towers()
+            mlp = AestheticMLP()
+            z = jnp.zeros((1, self.cfg.vision.proj_dim))
+            params = load_params(mlp, (z,), self._wf("aesthetic"), self.seed)
+            fn = jax.jit(lambda e: mlp.apply(params, e))
+
+            def score(image_u8) -> float:
+                return float(fn(clip_image(image_u8))[0])
+            return score
+        return self._get("aesthetic", build)
+
+    # ---- OCR recognizer (textual_change gate) -----------------------------
+    def ocr_fn(self):
+        """image_u8 → recognized text (GOT-OCR2 contract, utils.py:43-49).
+        Without converted GOT weights the random reader emits stable
+        placeholder pieces, so the textual gate fails closed — install the
+        'ocr' slot only when weights exist (it is deliberately NOT in
+        SLOTS_FOR_EDIT_TYPE for that reason)."""
+        def build():
+            from anyedit_tpu.models.ocr import (
+                OCRReader, greedy_decode, detokenize_ids)
+
+            ocr_cfg = self.cfg.ocr
+            vis = CLIPVisionEncoder(ocr_cfg.vision)
+            vpx = jnp.zeros((1, ocr_cfg.vision.image_size,
+                             ocr_cfg.vision.image_size, 3), jnp.float32)
+            vp = load_params(vis, (vpx,), self._wf("ocr_vision"), self.seed)
+            vfn = jax.jit(lambda px: vis.apply(vp, px))
+            reader = OCRReader(ocr_cfg)
+            n_tok = (ocr_cfg.vision.image_size // ocr_cfg.vision.patch) ** 2 + 1
+            it = jnp.zeros((1, n_tok, ocr_cfg.vision.hidden))
+            ids = jnp.zeros((1, ocr_cfg.max_tokens), jnp.int32)
+            params = load_params(reader, (it, ids), self._wf("ocr"), self.seed)
+            fn = jax.jit(lambda it, ids: reader.apply(params, it, ids))
+
+            def read(image_u8) -> str:
+                px = resize_image(jnp.asarray(image_u8, jnp.float32) / 255.0,
+                                  ocr_cfg.vision.image_size,
+                                  ocr_cfg.vision.image_size, "bilinear")
+                toks, _ = vfn(imagenet_normalize(px)[None])
+                out_ids = greedy_decode(fn, toks.astype(jnp.float32),
+                                        ocr_cfg.max_tokens)
+                return detokenize_ids(out_ids[0], lambda i: f"▁t{i}")
+            return read
+        return self._get("ocr", build)
+
+    # ---- BLIP-2 VQA (pre/post filter gates) -------------------------------
+    def vqa_fn(self):
+        """(image_u8, question) → bool — BLIP-2 yes/no scoring
+        (filter_tool/utils.py:55-94 ask_wether_motion_blip2 family)."""
+        def build():
+            from anyedit_tpu.models.blip2 import yes_no
+
+            c = self.cfg
+            vis = CLIPVisionEncoder(c.eva)
+            vpx = jnp.zeros((1, c.eva.image_size, c.eva.image_size, 3),
+                            jnp.float32)
+            vp = load_params(vis, (vpx,), self._wf("eva_vit"), self.seed)
+            vfn = jax.jit(lambda px: vis.apply(vp, px))
+
+            vqa = Blip2VQA(c.qformer)
+            n_tok = (c.eva.image_size // c.eva.patch) ** 2 + 1
+            it = jnp.zeros((1, n_tok, c.eva.hidden))
+            ml = 32
+            qi = jnp.zeros((1, ml), jnp.int32)
+            qm = jnp.ones((1, ml), bool)
+            params = load_params(vqa, (it, qi, qm), self._wf("blip2"), self.seed)
+            fn = jax.jit(lambda it, qi, qm: vqa.apply(params, it, qi, qm))
+            vocab = c.qformer.lm.vocab_size
+            yes_id = int(self._ids("yes", 3, vocab)[0, 1])   # [0,0] is CLS
+            no_id = int(self._ids("no", 3, vocab)[0, 1])
+
+            def ask(image_u8, question: str) -> bool:
+                px = resize_image(jnp.asarray(image_u8, jnp.float32) / 255.0,
+                                  c.eva.image_size, c.eva.image_size,
+                                  "bilinear")
+                toks, _ = vfn(imagenet_normalize(px)[None])
+                ids = self._ids(question, ml, vocab)
+                mask = ids != 0
+                logits = fn(toks.astype(jnp.float32), jnp.asarray(ids),
+                            jnp.asarray(mask))
+                return bool(yes_no(logits, yes_id, no_id)[0])
+            return ask
+        return self._get("vqa", build)
+
     # ---- assembled toolbox ---------------------------------------------
+    def install(self, tb: Toolbox, slot: str) -> None:
+        """Build and attach one named model slot to the toolbox."""
+        if slot == "sd_inpaint":
+            tb.sd_inpaint = self.sd_inpainter()
+        elif slot == "clip":
+            tb.clip_image, tb.clip_text = self.clip_towers()
+        elif slot == "depth":
+            tb.depth = self.depth_fn()
+        elif slot == "hed":
+            tb.hed = self.hed_fn()
+        elif slot == "seg":
+            tb.seg = self.seg_fn()
+        elif slot == "canny":
+            tb.canny = self.canny_fn
+        elif slot == "text2img":
+            tb.text2img = self.text2img_fn()
+        elif slot == "vqa":
+            tb.vqa_yes_no = self.vqa_fn()
+        elif slot == "aesthetic":
+            tb.extra["aesthetic"] = self.aesthetic_fn()
+        elif slot == "ocr":
+            tb.ocr = self.ocr_fn()
+        elif slot == "flux_pair":
+            tb.extra["flux_pair"] = self.flux_pair_fn()
+        elif slot == "masactrl":
+            tb.extra["masactrl_pair"] = self.masactrl_pair_fn()
+        elif slot == "p2p_pair":
+            tb.extra["p2p_pair"] = self.p2p_pair()
+        elif slot == "anydoor":
+            tb.extra["anydoor"] = self.anydoor()
+        elif slot == "sdxl_img2img":
+            tb.extra["sdxl_img2img"] = self.img2img_fn()
+        elif slot == "canny_consistency":
+            tb.extra["canny_consistency"] = self.canny_consistency_fn()
+        elif slot == "sdxl_material":
+            tb.extra["sdxl_material"] = self.sdxl_material_fn()
+        elif slot == "ultraedit":
+            tb.extra["ultraedit"] = self.ultraedit_fn()
+        else:
+            raise KeyError(f"unknown toolbox slot {slot!r}")
+
     def toolbox(self, with_diffusion: bool = True,
                 with_anydoor: bool = False,
-                with_implicit: bool = False) -> Toolbox:
+                with_implicit: bool = False,
+                slots: Sequence[str] = ()) -> Toolbox:
         tb = Toolbox(ground=self.grounder(), inpaint=self.inpainter())
         if with_diffusion:
             tb.ip2p = self.ip2p()
@@ -433,4 +1329,32 @@ class ModelZoo:
             tb.extra["anydoor"] = self.anydoor()
         if with_implicit:
             tb.extra["p2p_pair"] = self.p2p_pair()
+        for s in dict.fromkeys(slots):
+            self.install(tb, s)
         return tb
+
+
+# edit_type → model slots it needs beyond ground/inpaint/ip2p. The CLI
+# unions these over the record stream so only the touched models compile
+# (reference equivalent: each scripts/*.sh lists its own checkpoints).
+SLOTS_FOR_EDIT_TYPE: dict[str, tuple[str, ...]] = {
+    "add": (), "remove": (), "counting": (),
+    "replace": ("sd_inpaint",),
+    "background_change": ("sd_inpaint",),
+    "color_alter": (), "tone_transfer": (),
+    "appearance_alter": ("ultraedit",),
+    "material_alter": ("ultraedit",),
+    "action_change": ("masactrl",),
+    "resize": (), "movement": (), "relation": (), "outpainting": (),
+    "textual_change": ("flux_pair",),
+    "implicit_change": ("p2p_pair", "sdxl_img2img", "canny_consistency",
+                        "clip"),
+    "style_change": (),
+    "rotation_change": (),
+    "visual_bbox": (), "visual_sketch": ("canny",),
+    "visual_scribble": ("hed",), "visual_depth": ("depth",),
+    "visual_segment": ("seg",),
+    "visual_reference": ("anydoor",),
+    "visual_material_transfer": ("sdxl_material", "depth"),
+    "material_transfer": ("sdxl_material", "depth"),
+}

@@ -406,3 +406,358 @@ def convert_sam(our_tree, sam_state: Mapping[str, Any]):
              st['prompt_encoder.point_embeddings.3.weight'][0]])
     """
     return _convert(our_tree, _sam_key, sam_state)
+
+
+# ---- tuple-key support -----------------------------------------------------
+
+def _convert2(tree, key_fn, src):
+    """Like _convert but key_fn may return a TUPLE of source keys whose
+    tensors are passed to the transform together (e.g. concat of split
+    convs, stacked corner embeddings)."""
+
+    def fill(jax_path, leaf):
+        path = tuple(p.key for p in jax_path)
+        hf_key, tf = key_fn(path)
+        keys = hf_key if isinstance(hf_key, tuple) else (hf_key,)
+        for k in keys:
+            if k not in src:
+                raise KeyError(f"missing source tensor {k!r} for "
+                               f"{'/'.join(path)}")
+        w = tf(*(src[k] for k in keys))
+        if tuple(w.shape) != tuple(leaf.shape):
+            raise ValueError(f"{hf_key}: shape {w.shape} vs ours {leaf.shape}")
+        return np.asarray(w, dtype=np.float32)
+
+    return jax.tree_util.tree_map_with_path(fill, tree)
+
+
+# ---- BERT (HF bert-base-uncased / GroundingDINO text tower) ---------------
+
+def _bert_key(path: tuple[str, ...], prefix: str = "") -> tuple[str, Callable]:
+    import re
+    p = [q for q in path if q != "params"]
+    name, leaf = p[0], p[-1]
+    suff = {"kernel": "weight", "scale": "weight", "bias": "bias"}.get(leaf, leaf)
+    lin = lambda k: (prefix + k + "." + suff,
+                     t_linear if leaf == "kernel" else t_id)
+    norm = lambda k: (prefix + k + "." + suff, t_id)
+    if name == "tok":
+        return prefix + "embeddings.word_embeddings.weight", t_id
+    if name == "pos":
+        return prefix + "embeddings.position_embeddings.weight", t_id
+    if name == "type":
+        return prefix + "embeddings.token_type_embeddings.weight", t_id
+    if name == "emb_ln":
+        return norm("embeddings.LayerNorm")
+    m = re.match(r"layer_(\d+)$", name)
+    if m:
+        lb = f"encoder.layer.{m[1]}"
+        sub = p[1]
+        table = {"q": lin(f"{lb}.attention.self.query"),
+                 "k": lin(f"{lb}.attention.self.key"),
+                 "v": lin(f"{lb}.attention.self.value"),
+                 "attn_out": lin(f"{lb}.attention.output.dense"),
+                 "ln1": norm(f"{lb}.attention.output.LayerNorm"),
+                 "fc1": lin(f"{lb}.intermediate.dense"),
+                 "fc2": lin(f"{lb}.output.dense"),
+                 "ln2": norm(f"{lb}.output.LayerNorm")}
+        return table[sub]
+    raise KeyError(f"unmapped BERT param {'/'.join(path)}")
+
+
+def convert_bert(our_tree, hf_state: Mapping[str, Any], prefix: str = ""):
+    """HF BertModel state dict → our BertEncoder tree. `prefix` handles
+    nesting (GroundingDINO checkpoints store it under 'bert.')."""
+    return _convert(our_tree, lambda p: _bert_key(p, prefix), hf_state)
+
+
+# ---- Swin (GroundingDINO backbone / UperNet backbone) ---------------------
+
+def _swin_key(path: tuple[str, ...], prefix: str = "") -> tuple[str, Callable]:
+    import re
+    p = [q for q in path if q != "params"]
+    name, leaf = p[0], p[-1]
+    suff = {"kernel": "weight", "scale": "weight", "bias": "bias"}.get(leaf, leaf)
+    conv = lambda k: (prefix + k + "." + suff,
+                      t_conv if leaf == "kernel" else t_id)
+    lin = lambda k: (prefix + k + "." + suff,
+                     t_linear if leaf == "kernel" else t_id)
+    norm = lambda k: (prefix + k + "." + suff, t_id)
+    if name == "patch_embed":
+        return conv("patch_embed.proj")
+    if name == "patch_ln":
+        return norm("patch_embed.norm")
+    m = re.match(r"stage(\d+)_block(\d+)$", name)
+    if m:
+        lb = f"layers.{m[1]}.blocks.{m[2]}"
+        sub = p[1]
+        if sub == "rel_bias":
+            return prefix + f"{lb}.attn.relative_position_bias_table", t_id
+        table = {"ln1": norm(f"{lb}.norm1"), "qkv": lin(f"{lb}.attn.qkv"),
+                 "proj": lin(f"{lb}.attn.proj"), "ln2": norm(f"{lb}.norm2"),
+                 "mlp1": lin(f"{lb}.mlp.fc1"), "mlp2": lin(f"{lb}.mlp.fc2")}
+        return table[sub]
+    m = re.match(r"merge_ln(\d+)$", name)
+    if m:   # our merge at stage i ↔ torch downsample of stage i-1
+        return norm(f"layers.{int(m[1]) - 1}.downsample.norm")
+    m = re.match(r"merge_fc(\d+)$", name)
+    if m:
+        return lin(f"layers.{int(m[1]) - 1}.downsample.reduction")
+    m = re.match(r"out_ln(\d+)$", name)
+    if m:
+        return norm(f"norm{m[1]}")
+    raise KeyError(f"unmapped Swin param {'/'.join(path)}")
+
+
+# ---- GroundingDINO (official groundingdino_swin*.pth) ----------------------
+
+def _split3(idx: int, leaf: str):
+    """Slice one third of a fused torch in_proj_{weight,bias}."""
+    def tf(w):
+        c = w.shape[0] // 3
+        part = w[idx * c:(idx + 1) * c]
+        return t_linear(part) if leaf == "kernel" else np.asarray(part)
+    return tf
+
+
+def _gdino_key(path: tuple[str, ...]) -> tuple[Any, Callable]:
+    import re
+    p = [q for q in path if q != "params"]
+    name, leaf = p[0], p[-1]
+    suff = {"kernel": "weight", "scale": "weight", "bias": "bias",
+            "gamma": "weight", "beta": "bias"}.get(leaf, leaf)
+    tsuff = {"kernel": "weight"}.get(leaf, "bias" if leaf == "bias" else "weight")
+    del tsuff
+    conv = lambda k: (k + "." + suff, t_conv if leaf == "kernel" else t_id)
+    lin = lambda k: (k + "." + suff, t_linear if leaf == "kernel" else t_id)
+    norm = lambda k: (k + "." + suff, t_id)
+
+    if name == "bert":
+        return _bert_key(tuple(p[1:]) + (leaf,), "bert.")
+    if name == "swin":
+        return _swin_key(tuple(p[1:]) + (leaf,), "backbone.0.")
+    if name == "feat_map":
+        return lin("feat_map")
+    m = re.match(r"in_proj_(\d+)$", name)
+    if m:
+        return conv(f"input_proj.{m[1]}.0")
+    m = re.match(r"in_ln_(\d+)$", name)
+    if m:
+        return norm(f"input_proj.{m[1]}.1")
+    if name == "level_embed":
+        return "transformer.level_embed", t_id
+    if name == "mem_proj":
+        return lin("transformer.enc_output")
+    if name == "mem_ln":
+        return norm("transformer.enc_output_norm")
+    if name == "tgt_embed":
+        return "transformer.tgt_embed.weight", t_id
+    if name == "dec_norm":
+        return norm("transformer.decoder.norm")
+    if name == "logit_bias":
+        return "__logit_bias__", t_id
+    m = re.match(r"ref_point_fc(\d)$", name)
+    if m:
+        return lin(f"transformer.decoder.ref_point_head.layers.{int(m[1]) - 1}")
+    m = re.match(r"enc_box_head$", name)
+    if m:
+        j = {"fc1": 0, "fc2": 1, "fc3": 2}[p[1]]
+        return lin(f"transformer.enc_out_bbox_embed.layers.{j}")
+    m = re.match(r"dec_box_head_(\d+)$", name)
+    if m:
+        j = {"fc1": 0, "fc2": 1, "fc3": 2}[p[1]]
+        return lin(f"bbox_embed.{m[1]}.layers.{j}")
+
+    def deform(base, sub):
+        table = {"value_proj": lin(f"{base}.value_proj"),
+                 "sampling_offsets": lin(f"{base}.sampling_offsets"),
+                 "attn_weights": lin(f"{base}.attention_weights"),
+                 "out_proj": lin(f"{base}.output_proj")}
+        return table[sub]
+
+    m = re.match(r"enc_(\d+)$", name)
+    if m:
+        i, sub = m[1], p[1]
+        tl = f"transformer.encoder.text_layers.{i}"
+        fl = f"transformer.encoder.fusion_layers.{i}"
+        vl = f"transformer.encoder.layers.{i}"
+        if sub == "fusion":
+            s2 = p[2]
+            table = {"qi": lin(f"{fl}.attn.v_proj"),
+                     "kt": lin(f"{fl}.attn.l_proj"),
+                     "vt": lin(f"{fl}.attn.values_l_proj"),
+                     "vi": lin(f"{fl}.attn.values_v_proj"),
+                     "oi": lin(f"{fl}.attn.out_v_proj"),
+                     "ot": lin(f"{fl}.attn.out_l_proj"),
+                     "ln_i": norm(f"{fl}.layer_norm_v"),
+                     "ln_t": norm(f"{fl}.layer_norm_l")}
+            if s2 == "gamma_i":
+                return f"{fl}.gamma_v", t_id
+            if s2 == "gamma_t":
+                return f"{fl}.gamma_l", t_id
+            return table[s2]
+        if sub in ("tq", "tk", "tv"):
+            idx = {"tq": 0, "tk": 1, "tv": 2}[sub]
+            key = f"{tl}.self_attn.in_proj_" + \
+                ("weight" if leaf == "kernel" else "bias")
+            return key, _split3(idx, leaf)
+        table = {"to": lin(f"{tl}.self_attn.out_proj"),
+                 "txt_ln": norm(f"{tl}.norm1"),
+                 "img_ln": norm(f"{vl}.norm1")}
+        if sub in table:
+            return table[sub]
+        if sub == "txt_ffn":
+            return {"fc1": lin(f"{tl}.linear1"), "fc2": lin(f"{tl}.linear2"),
+                    "ln": norm(f"{tl}.norm2")}[p[2]]
+        if sub == "img_ffn":
+            return {"fc1": lin(f"{vl}.linear1"), "fc2": lin(f"{vl}.linear2"),
+                    "ln": norm(f"{vl}.norm2")}[p[2]]
+        if sub == "deform":
+            return deform(f"{vl}.self_attn", p[2])
+    m = re.match(r"dec_(\d+)$", name)
+    if m:
+        dl = f"transformer.decoder.layers.{m[1]}"
+        sub = p[1]
+        if sub in ("sq", "sk", "sv"):
+            idx = {"sq": 0, "sk": 1, "sv": 2}[sub]
+            key = f"{dl}.self_attn.in_proj_" + \
+                ("weight" if leaf == "kernel" else "bias")
+            return key, _split3(idx, leaf)
+        if sub in ("cq", "ck", "cv"):
+            idx = {"cq": 0, "ck": 1, "cv": 2}[sub]
+            key = f"{dl}.ca_text.in_proj_" + \
+                ("weight" if leaf == "kernel" else "bias")
+            return key, _split3(idx, leaf)
+        table = {"so": lin(f"{dl}.self_attn.out_proj"),
+                 "co": lin(f"{dl}.ca_text.out_proj"),
+                 "ln_sa": norm(f"{dl}.norm2"),
+                 "ln_ta": norm(f"{dl}.catext_norm"),
+                 "ln_da": norm(f"{dl}.norm1")}
+        if sub in table:
+            return table[sub]
+        if sub == "ffn":
+            return {"fc1": lin(f"{dl}.linear1"), "fc2": lin(f"{dl}.linear2"),
+                    "ln": norm(f"{dl}.norm3")}[p[2]]
+        if sub == "deform":
+            return deform(f"{dl}.cross_attn", p[2])
+    raise KeyError(f"unmapped GDINO param {'/'.join(path)}")
+
+
+def convert_gdino(our_tree, state: Mapping[str, Any]):
+    """Official GroundingDINO checkpoint → our tree. Strips the DDP
+    'module.' prefix; our scalar logit_bias (the reference ContrastiveEmbed
+    carries no learned bias) initializes to 0."""
+    st = {k.removeprefix("module."): v for k, v in state.items()}
+    st.setdefault("__logit_bias__", np.zeros(()))
+    return _convert2(our_tree, _gdino_key, st)
+
+
+# ---- LaMa (saicinpainting big-lama generator) ------------------------------
+
+def t_fu_pack(w):
+    """FourierUnit channel order: torch interleaves (re,im) per channel
+    ((b,c,2,h,w) view → 2c); ours concatenates [re..., im...]. Permute the
+    1x1 conv kernel's I and O channel axes accordingly."""
+    w = t_conv(w)                      # (1,1,2c, 2c_out)
+    ci, co = w.shape[2], w.shape[3]
+    perm_i = np.concatenate([np.arange(0, ci, 2), np.arange(1, ci, 2)])
+    perm_o = np.concatenate([np.arange(0, co, 2), np.arange(1, co, 2)])
+    return w[:, :, perm_i][:, :, :, perm_o]
+
+
+def t_fu_vec(w):
+    w = np.asarray(w)
+    c = w.shape[0]
+    perm = np.concatenate([np.arange(0, c, 2), np.arange(1, c, 2)])
+    return w[perm]
+
+
+def _lama_key(path: tuple[str, ...], n_down: int, n_blocks: int
+              ) -> tuple[Any, Callable]:
+    import re
+    p = [q for q in path if q != "params"]
+    name, leaf = p[0], p[-1]
+    bn_suff = {"gamma": "weight", "beta": "bias", "mean": "running_mean",
+               "var": "running_var"}
+    conv = lambda k: (k + ".weight" if leaf == "kernel" else k + ".bias",
+                      t_conv if leaf == "kernel" else t_id)
+    convT = lambda k: (k + ".weight" if leaf == "kernel" else k + ".bias",
+                       (lambda w: np.transpose(w, (2, 3, 1, 0)))
+                       if leaf == "kernel" else t_id)
+    bn = lambda k: (k + "." + bn_suff[leaf], t_id)
+
+    if name == "stem":
+        return conv("model.1.ffc.convl2l")
+    if name == "stem_bn":
+        return bn("model.1.bn_l")
+    m = re.match(r"down_(\d+)$", name)
+    if m:
+        i = int(m[1])
+        base = f"model.{2 + i}"
+        if i < n_down - 1:
+            return conv(f"{base}.ffc.convl2l")
+        # last downsample splits into local+global convs: concat on O
+        if leaf == "kernel":
+            return ((f"{base}.ffc.convl2l.weight", f"{base}.ffc.convl2g.weight"),
+                    lambda a, b: np.concatenate([t_conv(a), t_conv(b)], axis=-1))
+        return ((f"{base}.ffc.convl2l.bias", f"{base}.ffc.convl2g.bias"),
+                lambda a, b: np.concatenate([a, b]))
+    m = re.match(r"down_bn_(\d+)$", name)
+    if m:
+        i = int(m[1])
+        base = f"model.{2 + i}"
+        if i < n_down - 1:
+            return bn(f"{base}.bn_l")
+        kl, _ = bn(f"{base}.bn_l")
+        kg, _ = bn(f"{base}.bn_g")
+        return (kl, kg), lambda a, b: np.concatenate([a, b])
+    m = re.match(r"block_(\d+)$", name)
+    if m:
+        # Sequential layout: 0 pad, 1 stem, 2..1+nd downs, 2+nd..1+nd+nb
+        # blocks, 2+nd+nb concat, then (convT, BN, ReLU) trios, pad, out
+        base = f"model.{2 + n_down + int(m[1])}"
+        sub = p[1]
+        if sub in ("ffc1", "ffc2"):
+            cb = f"{base}.conv{sub[-1]}.ffc"
+            s2 = p[2]
+            if s2 in ("l2l", "l2g", "g2l"):
+                return conv(f"{cb}.conv{s2}")
+            # g2g = SpectralTransform (lazy dispatch: bn()/conv() suffix
+            # tables depend on the leaf kind)
+            s3 = p[3]
+            if s3 == "down":
+                return conv(f"{cb}.convg2g.conv1.0")
+            if s3 == "bn1":
+                return bn(f"{cb}.convg2g.conv1.1")
+            if s3 == "up":
+                return conv(f"{cb}.convg2g.conv2")
+            if s3 == "fu_conv":
+                k = f"{cb}.convg2g.fu.conv_layer." + \
+                    ("weight" if leaf == "kernel" else "bias")
+                return k, (t_fu_pack if leaf == "kernel" else t_fu_vec)
+            if s3 == "fu_bn":
+                k, _ = bn(f"{cb}.convg2g.fu.bn")
+                return k, t_fu_vec
+        table = {"bn1_l": bn(f"{base}.conv1.bn_l"),
+                 "bn1_g": bn(f"{base}.conv1.bn_g"),
+                 "bn2_l": bn(f"{base}.conv2.bn_l"),
+                 "bn2_g": bn(f"{base}.conv2.bn_g")}
+        if sub in table:
+            return table[sub]
+    m = re.match(r"up_(\d+)$", name)
+    if m:
+        return convT(f"model.{3 + n_down + n_blocks + 3 * int(m[1])}")
+    m = re.match(r"up_bn_(\d+)$", name)
+    if m:
+        return bn(f"model.{4 + n_down + n_blocks + 3 * int(m[1])}")
+    if name == "out":
+        return conv(f"model.{4 + 4 * n_down + n_blocks}")
+    raise KeyError(f"unmapped LaMa param {'/'.join(path)}")
+
+
+def convert_lama(our_tree, state: Mapping[str, Any], n_down: int = 3,
+                 n_blocks: int = 9):
+    """saicinpainting big-lama generator state dict → our tree. Strips the
+    'generator.' prefix if present (the released best.ckpt nests it)."""
+    st = {k.removeprefix("generator."): v for k, v in state.items()}
+    return _convert2(our_tree, lambda p: _lama_key(p, n_down, n_blocks), st)

@@ -64,3 +64,40 @@ def test_executor_pre_filter_gate(tmp_path):
         ).PreScores(width=2000, height=300))  # aspect > 2 → reject
     report = ex.run(_records(2), _loader)
     assert report["counts"]["filtered"] == 2
+
+
+def test_executor_batched_grounding_equivalent(tmp_path):
+    """grounding_batch mode must produce the same ledger outcomes as the
+    per-record loop, and the stage report must show the batched stage."""
+    from anyedit_tpu.runtime.executor import _first_ground_spec
+
+    recs = _records(5)
+    tb_a = make_toolbox()
+    ex_a = FactoryExecutor(tb_a, ExecutorConfig(output_root=str(tmp_path / "a")))
+    rep_a = ex_a.run(recs, _loader)
+
+    tb_b = make_toolbox()
+    calls = {"n": 0}
+    real_ground = tb_b.ground
+
+    def counting_ground(image, phrase, mode="merge", count_k=None):
+        calls["n"] += 1
+        return real_ground(image, phrase, mode=mode, count_k=count_k)
+
+    def ground_batch(images, phrases, modes=None, count_ks=None, bucket=8):
+        return [real_ground(i, p, mode=m, count_k=k) for i, p, m, k in
+                zip(images, phrases, modes or ["merge"] * len(images),
+                    count_ks or [None] * len(images))]
+
+    counting_ground.batch = ground_batch
+    tb_b.ground = counting_ground
+    ex_b = FactoryExecutor(tb_b, ExecutorConfig(
+        output_root=str(tmp_path / "b"), grounding_batch=4))
+    rep_b = ex_b.run(recs, _loader)
+
+    assert rep_a["counts"] == rep_b["counts"]
+    assert "ground_batch" in rep_b["stages"]
+    # cached first groundings: live calls only for verify re-detections
+    assert calls["n"] < 2 * len(recs)
+    # spec covers the remove family used here
+    assert _first_ground_spec(recs[0]) == ("red square", "merge", None)

@@ -87,3 +87,32 @@ def test_gdino_text_sensitivity():
     l1, b1 = model.apply(params, px, ids1, mask)
     l2, b2 = model.apply(params, px, ids2, mask)
     assert float(jnp.max(jnp.abs(l1[:, :, :4] - l2[:, :, :4]))) > 1e-5
+
+
+def test_segment_text_masks():
+    """bertwarper semantics: '[CLS] a cat . a dog . [SEP]' → two phrase
+    blocks inclusive of their closing '.', CLS/SEP isolated, positions
+    restarting per segment."""
+    import jax.numpy as jnp
+    import numpy as np
+    from anyedit_tpu.models.gdino import segment_text_masks
+
+    CLS, SEP, DOT = 101, 102, 1012
+    ids = jnp.asarray([[CLS, 5, 6, DOT, 7, 8, DOT, SEP, 0, 0]])
+    mask = ids != 0
+    bias, pos = segment_text_masks(ids, mask, (CLS, SEP, DOT))
+    allowed = np.asarray(bias[0, 0] == 0.0)
+    # block 1: tokens 1..3 fully connected
+    assert allowed[1:4, 1:4].all()
+    # block 2: tokens 4..6 fully connected
+    assert allowed[4:7, 4:7].all()
+    # no cross-block attention
+    assert not allowed[1:4, 4:7].any() and not allowed[4:7, 1:4].any()
+    # CLS and SEP isolated (self only)
+    assert allowed[0, 0] and allowed[0, 1:].sum() == 0
+    assert allowed[7, 7] and allowed[7, :7].sum() == 0
+    # padded tokens isolated
+    assert allowed[8, 8] and allowed[8, :8].sum() == 0
+    # per-segment positions: word,word,dot → 0,1,2; restart after dot
+    np.testing.assert_array_equal(np.asarray(pos[0, :8]),
+                                  [0, 0, 1, 2, 0, 1, 2, 0])
