@@ -287,6 +287,20 @@ def cmd_train(args) -> int:
     return 0
 
 
+def cmd_convert(args) -> int:
+    """Torch checkpoint → zoo msgpack (replaces the reference's setup.sh
+    download step with an explicit conversion step)."""
+    from anyedit_tpu.weights.bootstrap import REGISTRY, convert_checkpoint
+    if args.list:
+        for k, (hint, _) in sorted(REGISTRY.items()):
+            print(f"{k:16s} ← {hint}")
+        return 0
+    out = args.out or str(Path(args.weights_dir) / f"{args.model}.msgpack")
+    convert_checkpoint(args.model, args.src, out)
+    print(f"wrote {out}")
+    return 0
+
+
 def cmd_export(args) -> int:
     from anyedit_tpu.core.ledger import RunLedger
     led = RunLedger(args.ledger)
@@ -340,6 +354,14 @@ def main(argv=None) -> int:
     pt.add_argument("--resume", action="store_true")
     pt.add_argument("--tiny", action="store_true")
     pt.set_defaults(fn=cmd_train)
+
+    pc = sub.add_parser("convert", help="torch checkpoint → zoo msgpack")
+    pc.add_argument("--model", default=None)
+    pc.add_argument("--src", default=None)
+    pc.add_argument("--out", default=None)
+    pc.add_argument("--weights-dir", default="weights")
+    pc.add_argument("--list", action="store_true")
+    pc.set_defaults(fn=cmd_convert)
 
     pe = sub.add_parser("export", help="ledger → reference-format JSONs")
     pe.add_argument("--ledger", required=True)

@@ -1,0 +1,146 @@
+"""Checkpoint bootstrap registry — `anyedit_tpu convert` maps the
+reference's downloaded torch checkpoints (setup.sh's ~25 `huggingface-cli
+download`/wget entries) onto the zoo's msgpack files.
+
+Each entry builds an ABSTRACT param tree via `jax.eval_shape` (no weights
+materialize — the converters only read leaf shapes) and returns the
+converted numpy tree ready for `save_params`. Output names match
+`runtime/zoo.py::ModelZoo._wf` so a converted weights dir is immediately
+loadable."""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Mapping
+
+import jax
+import jax.numpy as jnp
+
+from anyedit_tpu.weights import convert as C
+
+
+def _abstract(model, *args):
+    return jax.eval_shape(model.init, jax.random.key(0), *args)["params"]
+
+
+def _unet(cfg_name: str):
+    from anyedit_tpu.models import unet_sd
+
+    cfg = getattr(unet_sd, cfg_name)
+
+    def build(src: Mapping[str, Any]):
+        m = unet_sd.UNet2DCondition(cfg)
+        x = jnp.zeros((1, 8, 8, cfg.in_channels), jnp.float32)
+        t = jnp.zeros((1,), jnp.int32)
+        ctx = jnp.zeros((1, 77, cfg.context_dim), jnp.float32)
+        tree = _abstract(m, x, t, ctx)
+        return C.convert_unet_sd(tree, src, n_levels=len(cfg.block_channels))
+    return build
+
+
+def _vae(src):
+    from anyedit_tpu.models.vae import AutoencoderKL, SD_VAE
+    m = AutoencoderKL(SD_VAE)
+    tree = _abstract(m, jnp.zeros((1, 64, 64, 3), jnp.float32))
+    return C.convert_vae(tree, src, n_levels=len(SD_VAE.block_channels))
+
+
+def _clip_text(cfg_name: str):
+    from anyedit_tpu.models import clip
+
+    def build(src):
+        m = clip.CLIPTextEncoder(getattr(clip, cfg_name))
+        tree = _abstract(m, jnp.zeros((1, 77), jnp.int32))
+        return C.convert_clip_text(tree, src)
+    return build
+
+
+def _clip_text_proj(src):
+    """CLIPTextModel (tower + projection) from HF
+    CLIPTextModelWithProjection: encoder nested + text_projection."""
+    from anyedit_tpu.models.clip import CLIPTextModel, CLIP_L_TEXT
+    m = CLIPTextModel(CLIP_L_TEXT)
+    tree = _abstract(m, jnp.zeros((1, 77), jnp.int32))
+
+    def key_fn(path):
+        p = [q for q in path if q != "params"]
+        if p[0] == "encoder":
+            return C._clip_text_key(tuple(p[1:]))
+        if p[0] == "text_proj":
+            return "text_projection.weight", C.t_linear
+        raise KeyError(f"unmapped CLIPTextModel param {'/'.join(p)}")
+    return C._convert(tree, key_fn, src)
+
+
+def _clip_vision(src):
+    from anyedit_tpu.models.clip import CLIPVisionEncoder, CLIP_L_VISION
+    m = CLIPVisionEncoder(CLIP_L_VISION)
+    s = CLIP_L_VISION.image_size
+    tree = _abstract(m, jnp.zeros((1, s, s, 3), jnp.float32))
+    return C.convert_clip_vision(tree, src)
+
+
+def _sam(src):
+    import numpy as np
+    from anyedit_tpu.models.sam import SAM, SAM_VIT_H
+    from anyedit_tpu.grounding.maskgen import MAX_BOXES
+    m = SAM(SAM_VIT_H)
+    px = jnp.zeros((1, SAM_VIT_H.img_size, SAM_VIT_H.img_size, 3), jnp.float32)
+    bx = jnp.zeros((1, MAX_BOXES, 4), jnp.float32)
+    tree = _abstract(m, px, bx)
+    src = dict(src)
+    if "prompt_encoder.box_corner_embeddings" not in src:
+        src["prompt_encoder.box_corner_embeddings"] = np.stack(
+            [np.asarray(src["prompt_encoder.point_embeddings.2.weight"])[0],
+             np.asarray(src["prompt_encoder.point_embeddings.3.weight"])[0]])
+    return C.convert_sam(tree, src)
+
+
+def _gdino(src):
+    from anyedit_tpu.models.gdino import GroundingDINO, GDINO_SWINB
+    m = GroundingDINO(GDINO_SWINB)
+    cfg = GDINO_SWINB
+    px = jnp.zeros((1, 800, 800, 3), jnp.float32)
+    ids = jnp.zeros((1, cfg.max_text_len), jnp.int32)
+    msk = jnp.ones((1, cfg.max_text_len), bool)
+    tree = _abstract(m, px, ids, msk)
+    return C.convert_gdino(tree, src)
+
+
+def _lama(src):
+    from anyedit_tpu.models.lama import LamaGenerator, BIG_LAMA
+    m = LamaGenerator(BIG_LAMA)
+    tree = _abstract(m, jnp.zeros((1, 64, 64, 3), jnp.float32),
+                     jnp.zeros((1, 64, 64, 1), jnp.float32))
+    return C.convert_lama(tree, src, n_down=BIG_LAMA.n_downsample,
+                          n_blocks=BIG_LAMA.n_blocks)
+
+
+def _aesthetic(src):
+    from anyedit_tpu.filters.scorers import AestheticMLP
+    m = AestheticMLP()
+    tree = _abstract(m, jnp.zeros((1, 768), jnp.float32))
+    return C.convert_aesthetic(tree, src)
+
+
+# output name (zoo._wf) → (source hint, builder)
+REGISTRY: dict[str, tuple[str, Callable]] = {
+    "unet_sd": ("runwayml/stable-diffusion-v1-5 unet", _unet("SD15_UNET")),
+    "unet_ip2p": ("timbrooks/instruct-pix2pix unet", _unet("SD15_IP2P_UNET")),
+    "unet_inpaint": ("runwayml/sd-inpainting unet", _unet("SD15_INPAINT_UNET")),
+    "vae": ("SD1.5 vae", _vae),
+    "clip_text": ("openai/clip-vit-large-patch14 text", _clip_text("CLIP_L_TEXT")),
+    "clip_text_proj": ("CLIPTextModelWithProjection", _clip_text_proj),
+    "clip_vision": ("CLIPVisionModelWithProjection", _clip_vision),
+    "sam": ("sam_vit_h_4b8939.pth", _sam),
+    "gdino": ("groundingdino_swinb_cogcoor.pth", _gdino),
+    "lama": ("big-lama best.ckpt (generator.*)", _lama),
+    "aesthetic": ("sac+logos+ava1-l14-linearMSE.pth", _aesthetic),
+}
+
+
+def convert_checkpoint(name: str, src_path: str, out_path: str) -> None:
+    if name not in REGISTRY:
+        raise KeyError(f"unknown model {name!r}; have {sorted(REGISTRY)}")
+    src = C.load_torch_state(src_path)
+    tree = REGISTRY[name][1](src)
+    C.save_params(tree, out_path)

@@ -761,3 +761,66 @@ def convert_lama(our_tree, state: Mapping[str, Any], n_down: int = 3,
     'generator.' prefix if present (the released best.ckpt nests it)."""
     st = {k.removeprefix("generator."): v for k, v in state.items()}
     return _convert2(our_tree, lambda p: _lama_key(p, n_down, n_blocks), st)
+
+
+# ---- CLIP vision (HF CLIPVisionModelWithProjection) ------------------------
+
+def t_patch_conv(w):  # (O,I,P,P) conv, no bias in CLIP patch embedding
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _clip_vision_key(path: tuple[str, ...]) -> tuple[str, Callable]:
+    import re
+    p = [q for q in path if q != "params"]
+    name, leaf = p[0], p[-1]
+    suff = {"kernel": "weight", "scale": "weight", "bias": "bias"}.get(leaf, leaf)
+    base = "vision_model"
+    lin = lambda k: (k + "." + suff, t_linear if leaf == "kernel" else t_id)
+    norm = lambda k: (k + "." + suff, t_id)
+    if name == "patch_emb":
+        return f"{base}.embeddings.patch_embedding.weight", t_patch_conv
+    if name == "cls":
+        return f"{base}.embeddings.class_embedding", t_id
+    if name == "pos_emb":
+        return f"{base}.embeddings.position_embedding.weight", t_id
+    if name == "pre_ln":
+        # (sic) HF's historical typo in the param name
+        return norm(f"{base}.pre_layrnorm")
+    if name == "post_ln":
+        return norm(f"{base}.post_layernorm")
+    if name == "visual_proj":
+        return "visual_projection.weight", t_linear
+    m = re.match(r"block_(\d+)$", name)
+    if m:
+        lb = f"{base}.encoder.layers.{m[1]}"
+        sub = p[1]
+        if sub in ("ln1", "ln2"):
+            return norm(f"{lb}.layer_norm{sub[-1]}")
+        if sub == "attn":
+            mm = {"to_q": "q_proj", "to_k": "k_proj", "to_v": "v_proj",
+                  "to_out": "out_proj"}
+            return lin(f"{lb}.self_attn.{mm[p[2]]}")
+        if sub in ("fc1", "fc2"):
+            return lin(f"{lb}.mlp.{sub}")
+    raise KeyError(f"unmapped CLIP-vision param {'/'.join(path)}")
+
+
+def convert_clip_vision(our_tree, hf_state: Mapping[str, Any]):
+    return _convert(our_tree, _clip_vision_key, hf_state)
+
+
+# ---- LAION aesthetic MLP ----------------------------------------------------
+
+def _aesthetic_key(path: tuple[str, ...]) -> tuple[str, Callable]:
+    """The sac+logos+ava1-l14-linearMSE predictor is a plain torch
+    Sequential: Linear(768,1024) Drop Linear(1024,128) Drop Linear(128,64)
+    Drop Linear(64,16) Linear(16,1) → layers.{0,2,4,6,7} (pre_filter.py:38-81)."""
+    p = [q for q in path if q != "params"]
+    name, leaf = p[0], p[-1]
+    suff = "weight" if leaf == "kernel" else "bias"
+    idx = {"fc0": 0, "fc1": 2, "fc2": 4, "fc3": 6, "out": 7}[name]
+    return f"layers.{idx}.{suff}", (t_linear if leaf == "kernel" else t_id)
+
+
+def convert_aesthetic(our_tree, state: Mapping[str, Any]):
+    return _convert(our_tree, _aesthetic_key, state)

