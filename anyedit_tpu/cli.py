@@ -38,6 +38,7 @@ def tiny_zoo_config():
     from anyedit_tpu.models.segmentation import TINY_SEG
     from anyedit_tpu.models.blip2 import TINY_QFORMER
     from anyedit_tpu.models.ocr import TINY_OCR
+    from anyedit_tpu.models.vila import TINY_VILA
     from anyedit_tpu.runtime.zoo import ZooConfig
 
     f32 = dict(dtype=jnp.float32)
@@ -71,6 +72,7 @@ def tiny_zoo_config():
         eva=dataclasses.replace(TINY_VISION, **f32),
         qformer=TINY_QFORMER,
         ocr=TINY_OCR,
+        vila=TINY_VILA,
         box_threshold=0.0)
 
 

@@ -3,8 +3,8 @@
 from __future__ import annotations
 
 from anyedit_tpu.edits import (
-    action_change, geometry, global_, implicit, local, outpainting, rotation,
-    textual, visual,
+    action_change, composition, geometry, global_, implicit, local,
+    outpainting, rotation, textual, visual,
 )
 from anyedit_tpu.edits.types import Pipeline
 
@@ -23,6 +23,7 @@ EDIT_PIPELINES: dict[str, Pipeline] = {
     "replace": local.replace,
     "background_change": local.background_change,
     "action_change": action_change.action_change,
+    "composition": composition.composition,
     "rotation_change": rotation.rotation_change,
     "color_alter": global_.color_alter,
     "tone_transfer": global_.tone_transfer,

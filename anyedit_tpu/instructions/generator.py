@@ -125,3 +125,36 @@ def rule_based_visual_reference(caption: str, obj: str, ref_object: str,
         input=caption, output=caption.replace(obj, ref_object),
         edit_type="visual_reference", edited_object=obj,
         ref_object=ref_object, visual_input=visual_path)
+
+
+class LlamaBackend:
+    """LLMFn over the in-repo Llama decoder (the reference's
+    Llama-3-8B-Instruct, concept/utils.py:176-184). Greedy decode; prompts
+    are templated chat-style by the caller (prompts.py). Requires a real
+    tokenizer+weights to produce language; the tiny config exercises the
+    plumbing hermetically."""
+
+    def __init__(self, model, params, tokenize, detokenize,
+                 max_new: int = 96, eos_id: int | None = None):
+        """tokenize(str) -> list[int]; detokenize(list[int]) -> str."""
+        self.model = model
+        self.params = params
+        self.tokenize = tokenize
+        self.detokenize = detokenize
+        self.max_new = max_new
+        self.eos_id = eos_id
+
+    def __call__(self, prompts: list[str]) -> list[str]:
+        import jax.numpy as jnp
+        import numpy as np
+        from anyedit_tpu.models.llama import Llama, greedy_generate
+
+        outs = []
+        for prompt in prompts:   # ragged lengths: loop; same-bucket jit reuse
+            ids = self.tokenize(prompt)
+            emb = self.model.apply(self.params, jnp.asarray([ids], jnp.int32),
+                                   method=Llama.embed)
+            toks = greedy_generate(self.model, self.params, emb,
+                                   max_new=self.max_new, eos_id=self.eos_id)
+            outs.append(self.detokenize([int(t) for t in toks[0]]))
+        return outs

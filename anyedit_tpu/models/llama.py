@@ -1,0 +1,215 @@
+"""Llama-class decoder — the instruction-generation LLM + VILA's language
+tower.
+
+The reference loads Llama-3-8B-Instruct via HF for instruction generation
+(concept/utils.py:176-184) and VILA-1.5 (llava arch: vision tower + mm
+projector + llama, vila/model/llava_arch.py) for the pre-filter VQA
+(pre_filter.py:98-106). Rebuilt TPU-first:
+  * GQA attention (kv_heads < heads) with RoPE, RMSNorm, SwiGLU — the
+    Llama-3 block, all static shapes,
+  * decode = prefill + per-token step over an explicit KV cache carried as
+    arrays (no mutable state), so the whole generation loop jits,
+  * VILA = CLIP/SigLIP vision tokens → 2-layer mm projector → prepended to
+    the prompt embedding sequence (llava convention).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 128256
+    dim: int = 4096
+    layers: int = 32
+    heads: int = 32
+    kv_heads: int = 8            # GQA (Llama-3-8B)
+    ffn_dim: int = 14336
+    rope_theta: float = 500000.0
+    norm_eps: float = 1e-5
+    dtype: Any = jnp.bfloat16
+
+
+LLAMA3_8B = LlamaConfig()
+TINY_LLAMA = LlamaConfig(vocab_size=256, dim=32, layers=2, heads=4,
+                         kv_heads=2, ffn_dim=64, rope_theta=10000.0)
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", nn.initializers.ones, (x.shape[-1],),
+                       jnp.float32)
+        xf = x.astype(jnp.float32)
+        y = xf * jax.lax.rsqrt(jnp.mean(xf * xf, -1, keepdims=True) + self.eps)
+        return (y * w).astype(x.dtype)
+
+
+def rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
+    """x (B,H,L,D); positions (L,). Rotate half-dim pairs (Llama layout:
+    first/second half split, not interleaved — matches HF rotate_half)."""
+    d = x.shape[-1]
+    inv = 1.0 / (theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    ang = positions.astype(jnp.float32)[:, None] * inv[None]        # (L,D/2)
+    cos = jnp.concatenate([jnp.cos(ang), jnp.cos(ang)], -1)[None, None]
+    sin = jnp.concatenate([jnp.sin(ang), jnp.sin(ang)], -1)[None, None]
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    rot = jnp.concatenate([-x2, x1], axis=-1)
+    return (x.astype(jnp.float32) * cos + rot * sin).astype(x.dtype)
+
+
+class LlamaBlock(nn.Module):
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(self, x, positions, mask_bias, kv_cache=None):
+        """x (B,L,D); kv_cache None or (k,v) (B,KVH,S,hd) prefilled; returns
+        (x, (k_new, v_new)) with the cache extended/updated."""
+        c = self.cfg
+        hd = c.dim // c.heads
+        b, l, _ = x.shape
+        h = RMSNorm(c.norm_eps, name="attn_norm")(x)
+        q = nn.Dense(c.heads * hd, use_bias=False, dtype=c.dtype, name="wq")(h)
+        k = nn.Dense(c.kv_heads * hd, use_bias=False, dtype=c.dtype, name="wk")(h)
+        v = nn.Dense(c.kv_heads * hd, use_bias=False, dtype=c.dtype, name="wv")(h)
+        q = q.reshape(b, l, c.heads, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, l, c.kv_heads, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, l, c.kv_heads, hd).transpose(0, 2, 1, 3)
+        q = rope(q, positions, c.rope_theta)
+        k = rope(k, positions, c.rope_theta)
+        if kv_cache is not None:
+            ck, cv = kv_cache
+            # write new k/v at `positions` (decode: l==1)
+            ck = jax.lax.dynamic_update_slice(
+                ck, k.astype(ck.dtype), (0, 0, positions[0], 0))
+            cv = jax.lax.dynamic_update_slice(
+                cv, v.astype(cv.dtype), (0, 0, positions[0], 0))
+            k, v = ck, cv
+        new_cache = (k, v)
+        # GQA: repeat kv heads
+        rep = c.heads // c.kv_heads
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) / np.sqrt(hd)
+        logits = logits + mask_bias
+        p = jax.nn.softmax(logits, axis=-1)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+                       preferred_element_type=jnp.float32)
+        o = o.transpose(0, 2, 1, 3).reshape(b, l, c.heads * hd)
+        x = x + nn.Dense(c.dim, use_bias=False, dtype=c.dtype,
+                         name="wo")(o.astype(c.dtype))
+        h = RMSNorm(c.norm_eps, name="mlp_norm")(x)
+        gate = nn.Dense(c.ffn_dim, use_bias=False, dtype=c.dtype, name="w_gate")(h)
+        up = nn.Dense(c.ffn_dim, use_bias=False, dtype=c.dtype, name="w_up")(h)
+        x = x + nn.Dense(c.dim, use_bias=False, dtype=c.dtype, name="w_down")(
+            nn.silu(gate) * up)
+        return x, new_cache
+
+
+class Llama(nn.Module):
+    """Three entry points (methods under one param tree):
+      * __call__(ids): full causal forward → logits (training/eval)
+      * prefill(embeds, cache_len): fill KV caches from a prompt
+      * decode_step(tok_emb, caches, pos): one-token step against caches
+    Token embeddings are exposed via `embed` so VILA can splice image
+    tokens into the prompt sequence.
+    """
+
+    cfg: LlamaConfig = LLAMA3_8B
+
+    def setup(self):
+        c = self.cfg
+        self.tok = nn.Embed(c.vocab_size, c.dim, dtype=c.dtype, name="tok")
+        self.blocks = [LlamaBlock(c, name=f"layer_{i}") for i in range(c.layers)]
+        self.norm_f = RMSNorm(c.norm_eps, name="norm_f")
+        self.lm_head = nn.Dense(c.vocab_size, use_bias=False,
+                                dtype=jnp.float32, name="lm_head")
+
+    def embed(self, ids):
+        return self.tok(ids)
+
+    def __call__(self, ids):
+        x = self.tok(ids)
+        l = ids.shape[1]
+        pos = jnp.arange(l)
+        bias = jnp.triu(jnp.full((l, l), -1e9, jnp.float32), k=1)[None, None]
+        for blk in self.blocks:
+            x, _ = blk(x, pos, bias)
+        return self.lm_head(self.norm_f(x).astype(jnp.float32))
+
+    def prefill(self, embeds, cache_len: int):
+        """embeds (B,L,D) → (logits_last (B,V), caches list[(k,v)]) with
+        k/v padded to (B,KVH,cache_len,hd)."""
+        c = self.cfg
+        b, l, _ = embeds.shape
+        hd = c.dim // c.heads
+        pos = jnp.arange(l)
+        bias = jnp.triu(jnp.full((l, l), -1e9, jnp.float32), k=1)[None, None]
+        x = embeds
+        caches = []
+        for blk in self.blocks:
+            x, (k, v) = blk(x, pos, bias)
+            pad = cache_len - l
+            k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            caches.append((k, v))
+        logits = self.lm_head(self.norm_f(x[:, -1]).astype(jnp.float32))
+        return logits, caches
+
+    def decode_step(self, tok_emb, caches, pos):
+        """tok_emb (B,1,D); pos scalar; attends all cache positions ≤ pos."""
+        c = self.cfg
+        cache_len = caches[0][0].shape[2]
+        positions = jnp.full((1,), pos)
+        # mask: allow cache slots <= pos
+        allow = jnp.arange(cache_len)[None, None, None, :] <= pos
+        bias = jnp.where(allow, 0.0, -1e9).astype(jnp.float32)
+        x = tok_emb
+        new_caches = []
+        for blk, cache in zip(self.blocks, caches):
+            x, kv = blk(x, positions, bias, kv_cache=cache)
+            new_caches.append(kv)
+        logits = self.lm_head(self.norm_f(x[:, 0]).astype(jnp.float32))
+        return logits, new_caches
+
+
+def greedy_generate(model: Llama, params, prompt_embeds: jnp.ndarray,
+                    max_new: int, cache_len: int | None = None,
+                    eos_id: int | None = None) -> np.ndarray:
+    """Greedy ids (B, max_new) from prompt embeddings: jitted prefill +
+    jitted scan over decode steps (one compile each)."""
+    b, l0, _ = prompt_embeds.shape
+    cache_len = cache_len or (l0 + max_new)
+
+    prefill = jax.jit(lambda e: model.apply(params, e, cache_len,
+                                            method=Llama.prefill))
+    logits, caches = prefill(prompt_embeds)
+
+    def step(carry, pos):
+        logits, caches = carry
+        tok = jnp.argmax(logits, axis=-1)                       # (B,)
+        emb = model.apply(params, tok[:, None], method=Llama.embed)
+        logits, caches = model.apply(params, emb, caches, pos,
+                                     method=Llama.decode_step)
+        return (logits, caches), tok
+
+    scan = jax.jit(lambda carry: jax.lax.scan(
+        step, carry, jnp.arange(l0, l0 + max_new)))
+    (_, _), toks = scan((logits, caches))
+    out = np.asarray(toks).T                                     # (B, max_new)
+    if eos_id is not None:
+        for r in range(out.shape[0]):
+            hits = np.nonzero(out[r] == eos_id)[0]
+            if hits.size:
+                out[r, hits[0]:] = eos_id
+    return out

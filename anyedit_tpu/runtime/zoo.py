@@ -48,6 +48,7 @@ from anyedit_tpu.models.ip_adapter import (
 from anyedit_tpu.models.flux import Flux, FluxConfig, FLUX_SCHNELL
 from anyedit_tpu.models.mmdit import MMDiT, MMDiTConfig, SD3_ULTRAEDIT
 from anyedit_tpu.models.ocr import OCRConfig, GOT_OCR
+from anyedit_tpu.models.vila import VilaConfig, VILA_1_5
 from anyedit_tpu.models.t5 import T5Encoder, T5Config, T5_XXL
 from anyedit_tpu.models.depth import DepthAnythingV2, DPTConfig, DEPTH_ANYTHING_L, depth_to_u8
 from anyedit_tpu.models.hed import HED, scribble_postprocess
@@ -97,6 +98,7 @@ class ZooConfig:
     eva: CLIPVisionConfig = EVA_VIT_G       # BLIP-2 vision tower (EVA ViT-g)
     qformer: QFormerConfig = BLIP2_QFORMER  # BLIP-2 Q-Former + LM
     ocr: OCRConfig = GOT_OCR                # GOT-OCR2-class recognizer
+    vila: VilaConfig = VILA_1_5             # VILA VLM (alt. VQA judge)
     box_threshold: float = 0.25
     fused_diffusion_loop: bool = True   # False: per-step jit (fast compile)
 
@@ -1184,6 +1186,36 @@ class ModelZoo:
             return edit
         return self._get("ultraedit", build)
 
+    # ---- VILA VQA (alternative pre-filter judge, eval_mode='vila') --------
+    def vila_fn(self):
+        """(image_u8, question) → bool via the VILA-class VLM
+        (pre_filter.py:98-106,308-345). Same contract as vqa_fn; installed
+        by the 'vila' slot as tb.vqa_yes_no."""
+        def build():
+            from anyedit_tpu.models.vila import VilaVQA
+            from anyedit_tpu.models.blip2 import yes_no
+
+            vcfg = self.cfg.vila
+            m = VilaVQA(vcfg)
+            s = vcfg.vision.image_size
+            ml = 32
+            px = jnp.zeros((1, s, s, 3), jnp.float32)
+            ids = jnp.zeros((1, ml), jnp.int32)
+            params = load_params(m, (px, ids), self._wf("vila"), self.seed)
+            fn = jax.jit(lambda px, ids: m.apply(params, px, ids))
+            vocab = vcfg.lm.vocab_size
+            yes_id = int(self._ids("yes", 3, vocab)[0, 1])
+            no_id = int(self._ids("no", 3, vocab)[0, 1])
+
+            def ask(image_u8, question: str) -> bool:
+                px = resize_image(jnp.asarray(image_u8, jnp.float32) / 255.0,
+                                  s, s, "bilinear")
+                ids = self._ids(question, ml, vocab)
+                logits = fn(imagenet_normalize(px)[None], jnp.asarray(ids))
+                return bool(yes_no(logits, yes_id, no_id)[0])
+            return ask
+        return self._get("vila", build)
+
     # ---- aesthetic predictor (pre-filter gate) ----------------------------
     def aesthetic_fn(self):
         """image_u8 → float — the LAION aesthetic MLP over the CLIP-L image
@@ -1201,6 +1233,63 @@ class ModelZoo:
                 return float(fn(clip_image(image_u8))[0])
             return score
         return self._get("aesthetic", build)
+
+    # ---- composition (Omost-style regional generation) --------------------
+    def composition_fn(self):
+        """(canvas_plan_text, seed, steps) → image_u8 — region-conditioned
+        text2img (composition_image_generation.py:40-62 semantics): the
+        canvas plan's regions restrict cross-attention spans per image
+        token via `diffusion/regional.py`; no external Omost pipeline."""
+        def build():
+            import functools
+            from anyedit_tpu.diffusion.regional import (
+                build_regional_conditioning, parse_canvas_plan)
+
+            c = self.cfg
+            unet = UNet2DCondition(c.sd_unet)
+            hw = c.canvas.edit_size // c.canvas.latent_down
+            x = jnp.zeros((2, hw, hw, c.sd_unet.in_channels), jnp.bfloat16)
+            t = jnp.zeros((2,), jnp.int32)
+            ctx0 = jnp.zeros((2, c.text.max_len, c.sd_unet.context_dim),
+                             jnp.bfloat16)
+            params = load_params(unet, (x, t, ctx0), self._wf("unet_sd"),
+                                 self.seed)
+            ns = make_noise_schedule()
+            _, dec = self._vae()
+            text = self._text_encoder()
+
+            def run(plan_text: str, seed: int = 0, steps: int = 50,
+                    cfg_scale: float = 7.5):
+                gp, regions = parse_canvas_plan(plan_text)
+                ctx, proc = build_regional_conditioning(
+                    lambda s: text(s), gp or plan_text, regions,
+                    latent_hws=[hw, hw // 2, hw // 4])
+                n_parts = 1 + len(regions)
+                un = jnp.concatenate([text("")] * n_parts, axis=1)
+                ctx2 = jnp.concatenate([ctx, un], axis=0).astype(jnp.bfloat16)
+                st = ddim_init(ns, steps)
+                lat = jax.random.normal(jax.random.key(seed),
+                                        (1, hw, hw, c.sd_unet.in_channels),
+                                        jnp.float32)
+
+                @functools.partial(jax.jit, static_argnames=("nsteps",))
+                def sample(params, ctx2, lat, nsteps):
+                    def body(i, lat):
+                        lat2 = jnp.concatenate([lat, lat], axis=0)
+                        eps2 = unet.apply(params, lat2,
+                                          jnp.full((2,), st.timesteps[i]),
+                                          ctx2, processor=proc)
+                        e_c, e_u = jnp.split(eps2, 2, axis=0)
+                        eps = e_u + cfg_scale * (e_c - e_u)
+                        return ddim_step(ns, st, i, eps, lat)
+                    return jax.lax.fori_loop(0, nsteps, body, lat)
+
+                out = sample(params, ctx2, lat, steps)
+                size = c.canvas.edit_size
+                return self._from_latents(out, dec, c.vae.scaling_factor,
+                                          (size, size))
+            return run
+        return self._get("composition", build)
 
     # ---- OCR recognizer (textual_change gate) -----------------------------
     def ocr_fn(self):
@@ -1299,6 +1388,10 @@ class ModelZoo:
             tb.extra["aesthetic"] = self.aesthetic_fn()
         elif slot == "ocr":
             tb.ocr = self.ocr_fn()
+        elif slot == "composition":
+            tb.extra["composition"] = self.composition_fn()
+        elif slot == "vila":
+            tb.vqa_yes_no = self.vila_fn()
         elif slot == "flux_pair":
             tb.extra["flux_pair"] = self.flux_pair_fn()
         elif slot == "masactrl":
@@ -1351,6 +1444,7 @@ SLOTS_FOR_EDIT_TYPE: dict[str, tuple[str, ...]] = {
                         "clip"),
     "style_change": (),
     "rotation_change": (),
+    "composition": ("composition",),
     "visual_bbox": (), "visual_sketch": ("canny",),
     "visual_scribble": ("hed",), "visual_depth": ("depth",),
     "visual_segment": ("seg",),

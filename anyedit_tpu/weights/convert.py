@@ -824,3 +824,37 @@ def _aesthetic_key(path: tuple[str, ...]) -> tuple[str, Callable]:
 
 def convert_aesthetic(our_tree, state: Mapping[str, Any]):
     return _convert(our_tree, _aesthetic_key, state)
+
+
+# ---- Llama (HF LlamaForCausalLM / Llama-3-8B-Instruct) ---------------------
+
+def _llama_key(path: tuple[str, ...]) -> tuple[str, Callable]:
+    import re
+    p = [q for q in path if q != "params"]
+    name, leaf = p[0], p[-1]
+    lin = lambda k: (k + ".weight", t_linear)
+    if name == "tok":
+        return "model.embed_tokens.weight", t_id
+    if name == "norm_f":
+        return "model.norm.weight", t_id
+    if name == "lm_head":
+        return lin("lm_head")
+    m = re.match(r"layer_(\d+)$", name)
+    if m:
+        lb = f"model.layers.{m[1]}"
+        sub = p[1]
+        table = {"wq": lin(f"{lb}.self_attn.q_proj"),
+                 "wk": lin(f"{lb}.self_attn.k_proj"),
+                 "wv": lin(f"{lb}.self_attn.v_proj"),
+                 "wo": lin(f"{lb}.self_attn.o_proj"),
+                 "w_gate": lin(f"{lb}.mlp.gate_proj"),
+                 "w_up": lin(f"{lb}.mlp.up_proj"),
+                 "w_down": lin(f"{lb}.mlp.down_proj"),
+                 "attn_norm": (f"{lb}.input_layernorm.weight", t_id),
+                 "mlp_norm": (f"{lb}.post_attention_layernorm.weight", t_id)}
+        return table[sub]
+    raise KeyError(f"unmapped Llama param {'/'.join(path)}")
+
+
+def convert_llama(our_tree, hf_state: Mapping[str, Any]):
+    return _convert(our_tree, _llama_key, hf_state)

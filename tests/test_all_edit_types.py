@@ -57,6 +57,9 @@ def make_record(edit_type: str) -> InstructionRecord:
         r.output = 'a sign that says "WORLD"'
     if edit_type == "visual_reference":
         r.ref_object = "yellow square"
+    if edit_type == "composition":
+        r.edit = ("global: a green field\n"
+                  "region: 0.2,0.2,0.8,0.8 | a red barn")
     return r
 
 
@@ -111,7 +114,7 @@ MUST_SUCCEED = {
     "material_alter", "background_change", "replace", "outpainting",
     "resize", "movement", "relation", "visual_bbox", "visual_sketch",
     "visual_scribble", "visual_depth", "visual_segment", "visual_reference",
-    "material_transfer", "visual_material_transfer",
+    "material_transfer", "visual_material_transfer", "composition",
 }
 
 

@@ -123,3 +123,34 @@ after: same
     parsed = parse_implicit_dump(dump)
     assert len(parsed) == 1  # the degenerate (after == before) pair dropped
     assert parsed[0].edit == "someone drinks most of it"
+
+
+def test_concept_pool_pipeline():
+    """Concept curation: embedding dedup keeps the earlier of a similar
+    pair, LLM filter keeps yes-answers, head-noun dedup drops specialized
+    multi-word variants (concept/fliter_concept.py + select_class_name.py
+    + gpt_fliter_concept_pool.py semantics)."""
+    import numpy as np
+    from anyedit_tpu.instructions.concepts import (
+        build_concept_pool, dedup_by_embedding, dedup_by_head_noun,
+        llm_concept_filter)
+
+    vecs = {"cat": [1.0, 0.0], "kitten": [0.99, 0.14], "car": [0.0, 1.0]}
+    kept = dedup_by_embedding(["cat", "kitten", "car"],
+                              lambda c: np.asarray(vecs[c]), threshold=0.9)
+    assert kept == ["cat", "car"]
+
+    def llm(prompts):
+        return ["yes" if "car" not in p else "no" for p in prompts]
+
+    assert llm_concept_filter(["cat", "car", "dog"], llm) == ["cat", "dog"]
+    assert dedup_by_head_noun(["winter wren bird", "bird", "kelp"]) == \
+        ["bird", "kelp"]
+    vecs2 = dict(vecs, **{"sports car": [0.6, 0.8]})
+    pool = build_concept_pool(["cat", "cat", " kitten ", "sports car",
+                               "car"],
+                              embed_fn=lambda c: np.asarray(
+                                  vecs2.get(c.strip(), [0.5, 0.5])),
+                              llm=lambda ps: ["yes"] * len(ps))
+    assert "cat" in pool and "kitten" not in pool
+    assert "sports car" not in pool  # head noun 'car' present
