@@ -81,7 +81,10 @@ class T5Attention(nn.Module):
     bidirectional: bool = True
 
     @nn.compact
-    def __call__(self, x, kv=None, bias=None):
+    def __call__(self, x, kv=None, bias=None, pos_bias=None):
+        """Returns (out, pos_bias): layer 0 computes the relative-position
+        bias from its table and RETURNS it; later layers receive and reuse
+        it (HF T5 shares block-0's position bias across every block)."""
         c = self.cfg
         inner = c.heads * c.kv_dim
         kv = x if kv is None else kv
@@ -92,20 +95,23 @@ class T5Attention(nn.Module):
         v = nn.Dense(inner, use_bias=False, dtype=c.dtype, name="v")(kv)
         sp = lambda t, l: t.reshape(b, l, c.heads, c.kv_dim).transpose(0, 2, 1, 3)
         q, k, v = sp(q, lq), sp(k, lk), sp(v, lk)
-        total_bias = jnp.zeros((1, c.heads, lq, lk), jnp.float32)
         if self.has_rel_bias:
             table = self.param("rel_bias", nn.initializers.normal(0.02),
                                (c.rel_buckets, c.heads), jnp.float32)
             rel = (jnp.arange(lk)[None, :] - jnp.arange(lq)[:, None])
             bucket = rel_pos_bucket(rel, self.bidirectional, c.rel_buckets,
                                     c.rel_max_dist)
-            total_bias = total_bias + table[bucket].transpose(2, 0, 1)[None]
+            pos_bias = table[bucket].transpose(2, 0, 1)[None]
+        total_bias = jnp.zeros((1, c.heads, lq, lk), jnp.float32)
+        if pos_bias is not None:
+            total_bias = total_bias + pos_bias
         if bias is not None:
             total_bias = total_bias + bias
         # T5 uses unscaled dot-product (scale folded into init)
         o = sdpa_xla(q, k, v, scale=1.0, bias=total_bias)
         o = o.transpose(0, 2, 1, 3).reshape(b, lq, inner)
-        return nn.Dense(c.dim, use_bias=False, dtype=c.dtype, name="o")(o)
+        return nn.Dense(c.dim, use_bias=False, dtype=c.dtype, name="o")(o), \
+            pos_bias
 
 
 class T5FFN(nn.Module):
@@ -130,10 +136,14 @@ class T5Encoder(nn.Module):
         kpm = None
         if mask is not None:
             kpm = jnp.where(mask, 0.0, -1e9)[:, None, None, :]
+        pos_bias = None
         for i in range(c.enc_layers):
             h = RMSNorm(c.dtype, name=f"ln_a_{i}")(x)
-            x = x + T5Attention(c, has_rel_bias=(i == 0), bidirectional=True,
-                                name=f"attn_{i}")(h, bias=kpm)
+            a, pos_bias = T5Attention(c, has_rel_bias=(i == 0),
+                                      bidirectional=True,
+                                      name=f"attn_{i}")(h, bias=kpm,
+                                                        pos_bias=pos_bias)
+            x = x + a
             h = RMSNorm(c.dtype, name=f"ln_f_{i}")(x)
             x = x + T5FFN(c, name=f"ffn_{i}")(h)
         return RMSNorm(c.dtype, name="ln_final")(x).astype(jnp.float32)
@@ -154,12 +164,17 @@ class T5Decoder(nn.Module):
         if enc_mask is not None:
             kpm = jnp.where(enc_mask, 0.0, -1e9)[:, None, None, :]
         enc = enc_out.astype(c.dtype)
+        pos_bias = None
         for i in range(c.dec_layers):
             h = RMSNorm(c.dtype, name=f"ln_a_{i}")(x)
-            x = x + T5Attention(c, has_rel_bias=(i == 0), bidirectional=False,
-                                name=f"self_{i}")(h, bias=causal)
+            a, pos_bias = T5Attention(c, has_rel_bias=(i == 0),
+                                      bidirectional=False,
+                                      name=f"self_{i}")(h, bias=causal,
+                                                        pos_bias=pos_bias)
+            x = x + a
             h = RMSNorm(c.dtype, name=f"ln_x_{i}")(x)
-            x = x + T5Attention(c, name=f"cross_{i}")(h, kv=enc, bias=kpm)
+            ca, _ = T5Attention(c, name=f"cross_{i}")(h, kv=enc, bias=kpm)
+            x = x + ca
             h = RMSNorm(c.dtype, name=f"ln_f_{i}")(x)
             x = x + T5FFN(c, name=f"ffn_{i}")(h)
         x = RMSNorm(c.dtype, name="ln_final")(x)

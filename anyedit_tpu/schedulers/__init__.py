@@ -6,4 +6,4 @@ from anyedit_tpu.schedulers.ddpm import ddpm_step
 from anyedit_tpu.schedulers.euler import EulerState, euler_ancestral_init, euler_ancestral_step
 from anyedit_tpu.schedulers.flow import FlowState, flow_init, flow_step
 
-SCHEDULERS = ("ddim", "ddpm", "euler_a", "flow")
+SCHEDULERS = ("ddim", "ddpm", "euler_a", "flow", "dpm++2m", "plms")

@@ -79,6 +79,27 @@ def _clip_vision(src):
     return C.convert_clip_vision(tree, src)
 
 
+def _t5(src):
+    from anyedit_tpu.models.t5 import T5Encoder, T5_XXL
+    m = T5Encoder(T5_XXL)
+    tree = _abstract(m, jnp.zeros((1, 77), jnp.int32))
+    return C.convert_t5_encoder(tree, src)
+
+
+def _llama(src):
+    from anyedit_tpu.models.llama import Llama, LLAMA3_8B
+    m = Llama(LLAMA3_8B)
+    tree = _abstract(m, jnp.zeros((1, 8), jnp.int32))
+    return C.convert_llama(tree, src)
+
+
+def _clip_text_g(src):
+    from anyedit_tpu.models.clip import CLIPTextEncoder, CLIP_BIGG_TEXT
+    m = CLIPTextEncoder(CLIP_BIGG_TEXT)
+    tree = _abstract(m, jnp.zeros((1, 77), jnp.int32))
+    return C.convert_clip_text(tree, src)
+
+
 def _sam(src):
     import numpy as np
     from anyedit_tpu.models.sam import SAM, SAM_VIT_H
@@ -129,6 +150,9 @@ REGISTRY: dict[str, tuple[str, Callable]] = {
     "unet_inpaint": ("runwayml/sd-inpainting unet", _unet("SD15_INPAINT_UNET")),
     "vae": ("SD1.5 vae", _vae),
     "clip_text": ("openai/clip-vit-large-patch14 text", _clip_text("CLIP_L_TEXT")),
+    "clip_text_g": ("laion CLIP-bigG text (SDXL tower 2)", _clip_text_g),
+    "t5": ("T5-XXL v1.1 encoder (Flux/SD3)", _t5),
+    "llama": ("Llama-3-8B-Instruct", _llama),
     "clip_text_proj": ("CLIPTextModelWithProjection", _clip_text_proj),
     "clip_vision": ("CLIPVisionModelWithProjection", _clip_vision),
     "sam": ("sam_vit_h_4b8939.pth", _sam),

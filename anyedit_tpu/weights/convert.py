@@ -858,3 +858,39 @@ def _llama_key(path: tuple[str, ...]) -> tuple[str, Callable]:
 
 def convert_llama(our_tree, hf_state: Mapping[str, Any]):
     return _convert(our_tree, _llama_key, hf_state)
+
+
+# ---- T5 encoder (HF T5EncoderModel, v1.1 gated-gelu: Flux/SD3/BLIP-2) ------
+
+def _t5_key(path: tuple[str, ...]) -> tuple[str, Callable]:
+    import re
+    p = [q for q in path if q != "params"]
+    name, leaf = p[0], p[-1]
+    lin = lambda k: (k + ".weight", t_linear)
+    if name == "emb":
+        return "shared.weight", t_id
+    if name == "ln_final":
+        return "encoder.final_layer_norm.weight", t_id
+    m = re.match(r"(ln_a|ln_f|attn|ffn)_(\d+)$", name)
+    if m:
+        kind, i = m[1], m[2]
+        blk = f"encoder.block.{i}.layer"
+        if kind == "ln_a":
+            return f"{blk}.0.layer_norm.weight", t_id
+        if kind == "ln_f":
+            return f"{blk}.1.layer_norm.weight", t_id
+        if kind == "attn":
+            sub = p[1]
+            if sub == "rel_bias":
+                return (f"{blk}.0.SelfAttention.relative_attention_bias.weight",
+                        t_id)
+            return lin(f"{blk}.0.SelfAttention.{sub}")
+        if kind == "ffn":
+            # HF keeps the module name "DenseReluDense" even for gated-gelu
+            mm = {"wi0": "wi_0", "wi1": "wi_1", "wo": "wo"}
+            return lin(f"{blk}.1.DenseReluDense.{mm[p[1]]}")
+    raise KeyError(f"unmapped T5 param {'/'.join(path)}")
+
+
+def convert_t5_encoder(our_tree, hf_state: Mapping[str, Any]):
+    return _convert(our_tree, _t5_key, hf_state)

@@ -132,3 +132,32 @@ def test_aesthetic_mlp_converter():
     with torch.no_grad():
         want = mlp(torch.from_numpy(emb)).numpy()[..., 0]
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_t5_encoder_matches_hf():
+    """T5 v1.1 gated-gelu encoder (Flux/SD3's text tower): validates the
+    relative-position bucketing, RMSNorms, unscaled attention, and the
+    converter key map against HF T5EncoderModel."""
+    from transformers import T5Config as HFT5Cfg, T5EncoderModel
+    from anyedit_tpu.models.t5 import T5Config, T5Encoder
+    from anyedit_tpu.weights.convert import convert_t5_encoder
+
+    hf_cfg = HFT5Cfg(vocab_size=64, d_model=32, d_kv=8, d_ff=64,
+                     num_layers=2, num_heads=4,
+                     relative_attention_num_buckets=32,
+                     relative_attention_max_distance=128,
+                     feed_forward_proj="gated-gelu", dropout_rate=0.0,
+                     is_encoder_decoder=False, use_cache=False)
+    torch.manual_seed(5)
+    hf = T5EncoderModel(hf_cfg).eval()
+
+    ours = T5Encoder(T5Config(vocab_size=64, dim=32, kv_dim=8, heads=4,
+                              ffn_dim=64, enc_layers=2, dec_layers=0,
+                              dtype=jnp.float32))
+    ids = np.array([[5, 9, 33, 1, 12, 60]], np.int64)
+    tree = ours.init(jax.random.key(0), jnp.asarray(ids, jnp.int32))
+    tree = {"params": convert_t5_encoder(tree["params"], _np_state(hf))}
+    got = np.asarray(ours.apply(tree, jnp.asarray(ids, jnp.int32)))
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids)).last_hidden_state.numpy()
+    np.testing.assert_allclose(got, want, atol=2e-4)

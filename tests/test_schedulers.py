@@ -162,3 +162,64 @@ def test_full_loop_jits():
     out = run(jnp.ones((1, 4, 8, 8)))
     assert out.shape == (1, 4, 8, 8)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_dpm_solver_2m_oracle():
+    """DPM-Solver++(2M) with the exact-eps oracle must converge to x0 much
+    faster than DDIM (2nd-order): 10 steps, tight tolerance on the final
+    state vs the schedule's bottom level."""
+    from anyedit_tpu.schedulers.dpm import dpm_init, dpm_step, dpm_carry_init
+
+    ns = make_noise_schedule()
+    st = dpm_init(ns, 10)
+    key = jax.random.key(7)
+    x0 = 0.5 * jax.random.normal(key, (1, 4, 8, 8))
+    model = _exact_eps_model(ns, x0)
+    eps0 = jax.random.normal(jax.random.fold_in(key, 1), x0.shape)
+    x = add_noise(ns, x0, eps0, jnp.array(int(st.timesteps[0])))
+    carry = dpm_carry_init(x.shape)
+    for i in range(10):
+        x, carry = dpm_step(ns, st, jnp.asarray(i), model(x, st.timesteps[i]),
+                            x, carry)
+    # ends at the clamped t=0 level: alpha/sigma of acp[0]
+    acp0 = ns.alphas_cumprod[0]
+    expect = jnp.sqrt(acp0) * x0 + jnp.sqrt(1 - acp0) * eps0
+    np.testing.assert_allclose(np.asarray(x), np.asarray(expect), atol=5e-3)
+
+
+def test_plms_oracle_and_history_orders():
+    from anyedit_tpu.schedulers.dpm import dpm_init, plms_step, plms_carry_init
+
+    ns = make_noise_schedule()
+    st = dpm_init(ns, 20)
+    key = jax.random.key(8)
+    x0 = 0.4 * jax.random.normal(key, (1, 4, 8, 8))
+    model = _exact_eps_model(ns, x0)
+    eps0 = jax.random.normal(jax.random.fold_in(key, 1), x0.shape)
+    x = add_noise(ns, x0, eps0, jnp.array(int(st.timesteps[0])))
+    carry = plms_carry_init(x.shape)
+    for i in range(20):
+        x, carry = plms_step(ns, st, jnp.asarray(i), model(x, st.timesteps[i]),
+                             x, carry)
+    assert int(carry.n_hist) == 20
+    acp0 = ns.alphas_cumprod[0]
+    expect = jnp.sqrt(acp0) * x0 + jnp.sqrt(1 - acp0) * eps0
+    np.testing.assert_allclose(np.asarray(x), np.asarray(expect), atol=5e-3)
+
+
+def test_dpm_plms_loops_jit():
+    from anyedit_tpu.schedulers.dpm import (
+        dpm_init, dpm_step, dpm_carry_init)
+
+    ns = make_noise_schedule()
+    st = dpm_init(ns, 8)
+
+    @jax.jit
+    def run(x):
+        def body(i, carry):
+            x, c = carry
+            return dpm_step(ns, st, i, 0.1 * x, x, c)
+        return jax.lax.fori_loop(0, 8, body, (x, dpm_carry_init(x.shape)))
+
+    x, c = run(jnp.ones((1, 4, 8, 8)))
+    assert bool(jnp.all(jnp.isfinite(x)))
