@@ -44,7 +44,7 @@ class DinoBlock(nn.Module):
         c = self.cfg
         hd = c.dim // c.heads
         b, l, _ = x.shape
-        h = LayerNorm(dtype=c.dtype, name="ln1")(x)
+        h = LayerNorm(dtype=c.dtype, eps=1e-6, name="ln1")(x)
         qkv = nn.Dense(3 * c.dim, dtype=c.dtype, name="qkv")(h)
         qkv = qkv.reshape(b, l, 3, c.heads, hd).transpose(2, 0, 3, 1, 4)
         o = sdpa_xla(qkv[0], qkv[1], qkv[2])
@@ -53,9 +53,10 @@ class DinoBlock(nn.Module):
         g1 = self.param("ls1", nn.initializers.constant(c.layerscale_init),
                         (c.dim,), jnp.float32)
         x = x + g1 * o
-        h = LayerNorm(dtype=c.dtype, name="ln2")(x)
+        h = LayerNorm(dtype=c.dtype, eps=1e-6, name="ln2")(x)
         h = nn.Dense(4 * c.dim, dtype=c.dtype, name="fc1")(h)
-        h = nn.Dense(c.dim, dtype=c.dtype, name="fc2")(nn.gelu(h))
+        # official DINOv2 uses torch nn.GELU (exact erf)
+        h = nn.Dense(c.dim, dtype=c.dtype, name="fc2")(nn.gelu(h, approximate=False))
         g2 = self.param("ls2", nn.initializers.constant(c.layerscale_init),
                         (c.dim,), jnp.float32)
         return x + g2 * h
@@ -87,7 +88,7 @@ class DinoV2(nn.Module):
             x = DinoBlock(c, name=f"block_{i}")(x)
             if i in self.return_layers:
                 layers[i] = x[:, 1:].astype(jnp.float32)
-        x = LayerNorm(dtype=c.dtype, name="ln_final")(x)
+        x = LayerNorm(dtype=c.dtype, eps=1e-6, name="ln_final")(x)
         return {"cls": x[:, 0].astype(jnp.float32),
                 "patch": x[:, 1:].astype(jnp.float32),
                 "layers": layers}

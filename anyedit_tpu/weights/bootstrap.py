@@ -136,6 +136,21 @@ def _lama(src):
                           n_blocks=BIG_LAMA.n_blocks)
 
 
+def _dinov2(src):
+    from anyedit_tpu.models.dinov2 import DinoV2, DINOV2_L
+    m = DinoV2(DINOV2_L)
+    s_ = DINOV2_L.img_size
+    tree = _abstract(m, jnp.zeros((1, s_, s_, 3), jnp.float32))
+    return C.convert_dinov2(tree, src)
+
+
+def _hed(src):
+    from anyedit_tpu.models.hed import HED
+    m = HED()
+    tree = _abstract(m, jnp.zeros((1, 64, 64, 3), jnp.float32))
+    return C.convert_hed(tree, src)
+
+
 def _aesthetic(src):
     from anyedit_tpu.filters.scorers import AestheticMLP
     m = AestheticMLP()
@@ -158,6 +173,8 @@ REGISTRY: dict[str, tuple[str, Callable]] = {
     "sam": ("sam_vit_h_4b8939.pth", _sam),
     "gdino": ("groundingdino_swinb_cogcoor.pth", _gdino),
     "lama": ("big-lama best.ckpt (generator.*)", _lama),
+    "dinov2": ("facebook/dinov2-large (HF)", _dinov2),
+    "hed": ("lllyasviel ControlNetHED.pth", _hed),
     "aesthetic": ("sac+logos+ava1-l14-linearMSE.pth", _aesthetic),
 }
 

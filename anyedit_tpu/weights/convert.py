@@ -894,3 +894,74 @@ def _t5_key(path: tuple[str, ...]) -> tuple[str, Callable]:
 
 def convert_t5_encoder(our_tree, hf_state: Mapping[str, Any]):
     return _convert(our_tree, _t5_key, hf_state)
+
+
+# ---- DINOv2 (HF Dinov2Model) ------------------------------------------------
+
+def _dinov2_key(path: tuple[str, ...]):
+    import re
+    p = [q for q in path if q != "params"]
+    name, leaf = p[0], p[-1]
+    suff = {"kernel": "weight", "scale": "weight", "bias": "bias"}.get(leaf, leaf)
+    lin = lambda k: (k + "." + suff, t_linear if leaf == "kernel" else t_id)
+    norm = lambda k: (k + "." + suff, t_id)
+    if name == "patch_embed":
+        return (f"embeddings.patch_embeddings.projection.{suff}",
+                t_conv if leaf == "kernel" else t_id)
+    if name == "cls":
+        return "embeddings.cls_token", lambda w: np.asarray(w)[0, 0]
+    if name == "pos":
+        return "embeddings.position_embeddings", lambda w: np.asarray(w)[0]
+    if name == "ln_final":
+        return norm("layernorm")
+    m = re.match(r"block_(\d+)$", name)
+    if m:
+        lb = f"encoder.layer.{m[1]}"
+        sub = p[1]
+        if sub == "qkv":
+            # HF keeps q/k/v separate; fuse on the output axis
+            keys = tuple(f"{lb}.attention.attention.{w}.{suff}"
+                         for w in ("query", "key", "value"))
+            if leaf == "kernel":
+                return keys, lambda q, k, v: np.concatenate(
+                    [t_linear(q), t_linear(k), t_linear(v)], axis=-1)
+            return keys, lambda q, k, v: np.concatenate([q, k, v])
+        table = {"ln1": norm(f"{lb}.norm1"), "ln2": norm(f"{lb}.norm2"),
+                 "proj": lin(f"{lb}.attention.output.dense"),
+                 "fc1": lin(f"{lb}.mlp.fc1"), "fc2": lin(f"{lb}.mlp.fc2")}
+        if sub in table:
+            return table[sub]
+        if sub == "ls1":
+            return f"{lb}.layer_scale1.lambda1", t_id
+        if sub == "ls2":
+            return f"{lb}.layer_scale2.lambda1", t_id
+    raise KeyError(f"unmapped DINOv2 param {'/'.join(path)}")
+
+
+def convert_dinov2(our_tree, hf_state: Mapping[str, Any]):
+    return _convert2(our_tree, _dinov2_key, hf_state)
+
+
+# ---- HED (lllyasviel ControlNetHED_Apache2) ---------------------------------
+
+def _hed_key(path: tuple[str, ...]):
+    import re
+    p = [q for q in path if q != "params"]
+    name, leaf = p[0], p[-1]
+    if name == "norm":
+        return "norm", lambda w: np.asarray(w).reshape(3)
+    m = re.match(r"b(\d)_conv(\d)$", name)
+    if m:
+        k = f"block{int(m[1]) + 1}.convs.{m[2]}." + \
+            ("weight" if leaf == "kernel" else "bias")
+        return k, (t_conv if leaf == "kernel" else t_id)
+    m = re.match(r"b(\d)_proj$", name)
+    if m:
+        k = f"block{int(m[1]) + 1}.projection." + \
+            ("weight" if leaf == "kernel" else "bias")
+        return k, (t_conv if leaf == "kernel" else t_id)
+    raise KeyError(f"unmapped HED param {'/'.join(path)}")
+
+
+def convert_hed(our_tree, state: Mapping[str, Any]):
+    return _convert(our_tree, _hed_key, state)

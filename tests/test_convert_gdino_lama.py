@@ -215,3 +215,33 @@ def test_bootstrap_registry_abstract_trees():
         from anyedit_tpu.weights.convert import load_params_file
         tree = load_params_file(out)
         assert tree["fc0"]["kernel"].shape == (768, 1024)
+
+
+def test_hed_converter_and_structure():
+    """HED: converter totality (synthetic ControlNetHED state dict) and the
+    5-projection-mean forward semantics with handcrafted weights."""
+    import jax
+    import jax.numpy as jnp
+    from anyedit_tpu.models.hed import HED, HED_STAGES
+    from anyedit_tpu.weights.convert import _hed_key, convert_hed
+
+    m = HED()
+    px = jnp.zeros((1, 32, 32, 3))
+    tree = m.init(jax.random.key(0), px)["params"]
+    src = _inverse_src(tree, _hed_key)
+    assert "block1.convs.0.weight" in src and "block5.projection.weight" in src
+    out = convert_hed(tree, src)
+    np.testing.assert_array_equal(
+        out["b0_conv0"]["kernel"],
+        np.transpose(src["block1.convs.0.weight"], (2, 3, 1, 0)))
+    y = m.apply({"params": out}, px)
+    assert y.shape == (1, 32, 32) and np.isfinite(np.asarray(y)).all()
+    # semantics: zero weights → projections all bias; sigmoid(mean(bias))
+    zeroed = jax.tree.map(np.zeros_like, out)
+    for i in range(5):
+        zeroed[f"b{i}_proj"]["bias"] = np.asarray([float(i)])
+    y0 = m.apply({"params": zeroed}, px)
+    import scipy.special
+    np.testing.assert_allclose(np.asarray(y0)[0, 0, 0],
+                               scipy.special.expit(np.mean([0, 1, 2, 3, 4])),
+                               atol=1e-6)

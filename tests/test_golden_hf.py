@@ -161,3 +161,31 @@ def test_t5_encoder_matches_hf():
     with torch.no_grad():
         want = hf(torch.from_numpy(ids)).last_hidden_state.numpy()
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_dinov2_matches_hf():
+    """DINOv2 (AnyDoor conditioning / DepthAnything backbone): fused-qkv
+    conversion from HF's split q/k/v, layerscale, exact-gelu MLP."""
+    from transformers import Dinov2Config as HFDinoCfg, Dinov2Model
+    from anyedit_tpu.models.dinov2 import DinoV2, DinoV2Config
+    from anyedit_tpu.weights.convert import convert_dinov2
+
+    hf_cfg = HFDinoCfg(hidden_size=32, num_hidden_layers=2,
+                       num_attention_heads=2, intermediate_size=128,
+                       image_size=28, patch_size=7,
+                       layerscale_value=1e-5, hidden_act="gelu",
+                       attention_probs_dropout_prob=0.0,
+                       hidden_dropout_prob=0.0, drop_path_rate=0.0)
+    torch.manual_seed(6)
+    hf = Dinov2Model(hf_cfg).eval()
+
+    ours = DinoV2(DinoV2Config(img_size=28, patch=7, dim=32, depth=2,
+                               heads=2, dtype=jnp.float32))
+    px = np.random.default_rng(7).standard_normal((1, 28, 28, 3)).astype(np.float32)
+    tree = ours.init(jax.random.key(0), jnp.asarray(px))
+    tree = {"params": convert_dinov2(tree["params"], _np_state(hf))}
+    out = ours.apply(tree, jnp.asarray(px))
+    with torch.no_grad():
+        want = hf(torch.from_numpy(px.transpose(0, 3, 1, 2))).last_hidden_state.numpy()
+    np.testing.assert_allclose(np.asarray(out["cls"]), want[:, 0], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["patch"]), want[:, 1:], atol=1e-4)
