@@ -114,6 +114,11 @@ def cmd_run(args) -> int:
 
     def load_image(rec):
         from PIL import Image
+        if not rec.image_file:
+            # composition / textual_change synthesize both sides — no
+            # source image exists; hand the pipeline a neutral canvas
+            size = zoo_cfg.canvas.edit_size
+            return np.full((size, size, 3), 127, np.uint8)
         return np.asarray(Image.open(image_root / rec.image_file).convert("RGB"))
 
     # asset loaders for the visual / rotation families

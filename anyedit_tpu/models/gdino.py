@@ -306,25 +306,42 @@ class GroundingDINO(nn.Module):
                               axis=1)                                 # (B,S,C)
         s = img.shape[1]
 
-        # level embedding + per-token normalized reference points
+        # level embedding + per-token normalized reference points.
+        # Sine embedding matches PositionEmbeddingSineHW (temperature 20,
+        # normalize=True scale 2π, INTERLEAVED sin/cos, [pos_y ‖ pos_x]).
         lvl_emb = self.param("level_embed", nn.initializers.normal(1.0),
                              (c.num_levels, c.hidden), jnp.float32)
-        pos_parts, ref_parts = [], []
+
+        def sine_hw(vals, half, temp):
+            """vals (L,) in radians → (L, half) interleaved sin/cos."""
+            dim_t = temp ** (2 * (jnp.arange(half, dtype=jnp.float32) // 2)
+                             / half)
+            p = vals[:, None] / dim_t
+            return jnp.stack([jnp.sin(p[:, 0::2]), jnp.cos(p[:, 1::2])],
+                             axis=-1).reshape(-1, half)
+
+        pos_parts, ref_parts, lvl_parts = [], [], []
         for li, (hh, ww) in enumerate(spatial_shapes):
             ys = (jnp.arange(hh, dtype=jnp.float32) + 0.5) / hh
             xs = (jnp.arange(ww, dtype=jnp.float32) + 0.5) / ww
             gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
             ref_parts.append(jnp.stack([gx, gy], -1).reshape(-1, 2))
-            # sine positional embedding per location + level embed
-            coords = jnp.stack([gx, gy], -1).reshape(-1, 2)
-            dim_t = jnp.arange(c.hidden // 4, dtype=jnp.float32)
-            dim_t = 10000.0 ** (2 * (dim_t // 2) / (c.hidden // 2))
-            pe = (coords[:, :, None] * 2 * jnp.pi) / dim_t
-            pe = jnp.concatenate([jnp.sin(pe), jnp.cos(pe)], axis=-1).reshape(-1, c.hidden)
+            # cumsum-normalized coords: (idx+1)/extent · 2π (reference eps
+            # folded away for full masks)
+            ny = (jnp.arange(hh, dtype=jnp.float32) + 1.0) / hh * 2 * jnp.pi
+            nx = (jnp.arange(ww, dtype=jnp.float32) + 1.0) / ww * 2 * jnp.pi
+            half = c.hidden // 2
+            ey = sine_hw(ny, half, 20.0)                   # (hh, half)
+            ex = sine_hw(nx, half, 20.0)                   # (ww, half)
+            pe = jnp.concatenate(
+                [jnp.repeat(ey, ww, axis=0),
+                 jnp.tile(ex, (hh, 1))], axis=-1)          # (hh·ww, hidden)
             pos_parts.append(pe + lvl_emb[li])
+            lvl_parts.append(jnp.full((hh * ww,), li, jnp.int32))
         pos = jnp.broadcast_to(jnp.concatenate(pos_parts, 0)[None],
                                (b, s, c.hidden)).astype(c.dtype)
         ref_pts = jnp.concatenate(ref_parts, 0)                       # (S, 2)
+        tok_level = jnp.concatenate(lvl_parts, 0)                     # (S,)
         ref_pts = jnp.broadcast_to(ref_pts[None, :, None, :],
                                    (b, s, c.num_levels, 2))
 
@@ -347,8 +364,13 @@ class GroundingDINO(nn.Module):
         anchors = jnp.take_along_axis(
             jnp.broadcast_to(ref_pts[:, :, 0, :], (b, s, 2)), top_idx[..., None],
             axis=1)
+        # per-level proposal size: wh = 0.05 · 2^lvl (gen_encoder_output_
+        # proposals, deformable-DETR convention)
+        wh_all = 0.05 * (2.0 ** tok_level.astype(jnp.float32))        # (S,)
+        wh_sel = jnp.take_along_axis(jnp.broadcast_to(wh_all[None], (b, s)),
+                                     top_idx, axis=1)[..., None]
         prop_boxes = jnp.concatenate(
-            [anchors, jnp.full((b, nq, 2), 0.1)], axis=-1)            # cxcywh
+            [anchors, jnp.tile(wh_sel, (1, 1, 2))], axis=-1)          # cxcywh
         sel_mem = jnp.take_along_axis(out_mem, top_idx[..., None], axis=1)
         delta = BoxHead(c, name="enc_box_head")(sel_mem)
         ref_boxes = jax.nn.sigmoid(_inverse_sigmoid(prop_boxes) + delta)
@@ -363,12 +385,16 @@ class GroundingDINO(nn.Module):
         rp_fc1 = nn.Dense(c.hidden, dtype=c.dtype, name="ref_point_fc1")
         rp_fc2 = nn.Dense(c.hidden, dtype=c.dtype, name="ref_point_fc2")
         for i in range(c.dec_layers):
-            # query pos embedding from current reference boxes
-            dim_t = jnp.arange(c.hidden // 4, dtype=jnp.float32)
-            dim_t = 10000.0 ** (2 * (dim_t // 2) / (c.hidden / 2))
-            pe = (ref_boxes[:, :, :, None] * 2 * jnp.pi) / dim_t
-            pe = jnp.concatenate([jnp.sin(pe), jnp.cos(pe)], -1).reshape(
-                b, nq, 2 * c.hidden)
+            # query pos embedding from current reference boxes: interleaved
+            # sin/cos per coord, coords ordered (y, x, w, h) — reference
+            # get_sine_pos_embed with exchange_xy=True
+            half = c.hidden // 2
+            dim_t = 10000.0 ** (2 * (jnp.arange(half, dtype=jnp.float32) // 2)
+                                / half)
+            coords = ref_boxes[..., jnp.asarray([1, 0, 2, 3])]
+            p = (coords[..., None] * 2 * jnp.pi) / dim_t
+            pe = jnp.stack([jnp.sin(p[..., 0::2]), jnp.cos(p[..., 1::2])],
+                           axis=-1).reshape(b, nq, 2 * c.hidden)
             q_pos = rp_fc2(nn.relu(rp_fc1(pe.astype(c.dtype))))
             tgt = DecoderLayer(c, name=f"dec_{i}")(
                 tgt, img, txt, spatial_shapes, ref_boxes, q_pos, kpm_bias)

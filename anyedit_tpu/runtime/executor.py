@@ -253,29 +253,57 @@ class FactoryExecutor:
                                      "trace": traceback.format_exc(limit=3)})
             else:
                 pending = list(ledger.pending(records, shard))
-                for c0 in range(0, len(pending), bs):
-                    chunk = pending[c0:c0 + bs]
-                    self._run_chunk(chunk, load_image, ledger, out_root, bs)
+                chunks = [pending[c0:c0 + bs]
+                          for c0 in range(0, len(pending), bs)]
+                # double-buffered host IO: decode chunk N+1 on a thread
+                # while chunk N runs on-device (SURVEY §7.8)
+                import threading
+
+                def load_chunk(chunk):
+                    out = {}
+                    for idx, rec in chunk:
+                        try:
+                            out[rec.key()] = load_image(rec)
+                        except Exception as e:
+                            out[rec.key()] = e
+                    return out
+
+                nxt: dict = load_chunk(chunks[0]) if chunks else {}
+                for ci, chunk in enumerate(chunks):
+                    loaded = nxt
+                    th = None
+                    if ci + 1 < len(chunks):
+                        holder = {}
+
+                        def work(c=chunks[ci + 1], h=holder):
+                            h["v"] = load_chunk(c)
+                        th = threading.Thread(target=work)
+                        th.start()
+                    self._run_chunk(chunk, loaded, ledger, out_root, bs)
+                    if th is not None:
+                        th.join()
+                        nxt = holder["v"]
         report = {"counts": ledger.counts(), "stages": self.timer.report()}
         ledger.close()
         return report
 
-    def _run_chunk(self, chunk, load_image, ledger, out_root, bucket) -> None:
-        """Load a chunk, device-batch every batchable first grounding, then
-        stream records through their pipelines against the warm cache."""
+    def _run_chunk(self, chunk, preloaded: dict, ledger, out_root,
+                   bucket) -> None:
+        """Device-batch every batchable first grounding of a preloaded
+        chunk, then stream records through their pipelines against the
+        warm cache."""
         loaded: dict[str, np.ndarray] = {}
         todo = []   # (image, phrase, mode, count_k)
         for idx, rec in chunk:
-            try:
-                with self.timer.stage("load"):
-                    loaded[rec.key()] = load_image(rec)
-            except Exception as e:
+            img = preloaded.get(rec.key())
+            if isinstance(img, Exception):
                 ledger.mark(rec, "failure",
-                            {"error": f"{type(e).__name__}: {e}"})
+                            {"error": f"{type(img).__name__}: {img}"})
                 continue
+            loaded[rec.key()] = img
             spec = _first_ground_spec(rec)
             if spec is not None:
-                todo.append((loaded[rec.key()],) + spec)
+                todo.append((img,) + spec)
         if todo:
             with self.timer.stage("ground_batch"):
                 results = self.tb.ground.batch(
@@ -344,4 +372,16 @@ class FactoryExecutor:
                 mp = out_root / "mask" / f"{stem}.png"
                 Image.fromarray((outcome.mask.astype(np.uint8)) * 255).save(mp)
                 payload["mask_file"] = str(mp)
+            if outcome.visual_input is not None:
+                # the visual_* families' PRODUCT is the condition channel
+                # (visual_condition_tool.py saves it alongside the pair)
+                vdir = out_root / "visual_input"
+                vdir.mkdir(parents=True, exist_ok=True)
+                vp = vdir / f"{stem}.png"
+                vi = outcome.visual_input
+                if vi.dtype != np.uint8:
+                    vi = np.clip(np.asarray(vi, np.float32), 0, 255).astype(np.uint8)
+                Image.fromarray(vi).save(vp)
+                rec.visual_input = vp.name
+                payload["visual_input_file"] = str(vp)
         ledger.mark(rec, "success", payload)

@@ -37,6 +37,20 @@ def _unet(cfg_name: str):
     return build
 
 
+def _unet_refine(src):
+    from anyedit_tpu.models import unet_sd
+    cfg = unet_sd.SDXL_UNET
+    m = unet_sd.UNet2DCondition(cfg)
+    x = jnp.zeros((1, 8, 8, cfg.in_channels), jnp.float32)
+    t = jnp.zeros((1,), jnp.int32)
+    ctx = jnp.zeros((1, 77, cfg.context_dim), jnp.float32)
+    pooled = jnp.zeros((1, cfg.addition_embed_dim), jnp.float32)
+    tids = jnp.zeros((1, cfg.addition_time_dim), jnp.float32)
+    tree = jax.eval_shape(m.init, jax.random.key(0), x, t, ctx,
+                          pooled_text=pooled, time_ids=tids)["params"]
+    return C.convert_unet_sdxl(tree, src, n_levels=len(cfg.block_channels))
+
+
 def _vae(src):
     from anyedit_tpu.models.vae import AutoencoderKL, SD_VAE
     m = AutoencoderKL(SD_VAE)
@@ -144,6 +158,14 @@ def _dinov2(src):
     return C.convert_dinov2(tree, src)
 
 
+def _depth(src):
+    from anyedit_tpu.models.depth import DepthAnythingV2, DEPTH_ANYTHING_L
+    m = DepthAnythingV2(DEPTH_ANYTHING_L)
+    s_ = DEPTH_ANYTHING_L.backbone.img_size
+    tree = _abstract(m, jnp.zeros((1, s_, s_, 3), jnp.float32))
+    return C.convert_depth_anything(tree, src)
+
+
 def _hed(src):
     from anyedit_tpu.models.hed import HED
     m = HED()
@@ -163,6 +185,7 @@ REGISTRY: dict[str, tuple[str, Callable]] = {
     "unet_sd": ("runwayml/stable-diffusion-v1-5 unet", _unet("SD15_UNET")),
     "unet_ip2p": ("timbrooks/instruct-pix2pix unet", _unet("SD15_IP2P_UNET")),
     "unet_inpaint": ("runwayml/sd-inpainting unet", _unet("SD15_INPAINT_UNET")),
+    "unet_refine": ("stabilityai/sdxl-base unet", _unet_refine),
     "vae": ("SD1.5 vae", _vae),
     "clip_text": ("openai/clip-vit-large-patch14 text", _clip_text("CLIP_L_TEXT")),
     "clip_text_g": ("laion CLIP-bigG text (SDXL tower 2)", _clip_text_g),
@@ -175,6 +198,7 @@ REGISTRY: dict[str, tuple[str, Callable]] = {
     "lama": ("big-lama best.ckpt (generator.*)", _lama),
     "dinov2": ("facebook/dinov2-large (HF)", _dinov2),
     "hed": ("lllyasviel ControlNetHED.pth", _hed),
+    "depth": ("depth_anything_v2_vitl.pth", _depth),
     "aesthetic": ("sac+logos+ava1-l14-linearMSE.pth", _aesthetic),
 }
 

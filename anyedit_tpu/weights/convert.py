@@ -965,3 +965,100 @@ def _hed_key(path: tuple[str, ...]):
 
 def convert_hed(our_tree, state: Mapping[str, Any]):
     return _convert(our_tree, _hed_key, state)
+
+
+# ---- DepthAnythingV2 (official checkpoint: pretrained.* + depth_head.*) ----
+
+def t_convT4(w):  # torch ConvTranspose2d (I,O,kH,kW) → flax (kH,kW,O,I)
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _da2_key(path: tuple[str, ...]):
+    import re
+    p = [q for q in path if q != "params"]
+    leaf = p[-1]
+    suff = "weight" if leaf in ("kernel", "scale") else \
+        ("bias" if leaf == "bias" else leaf)
+    lin = lambda k: (k + "." + suff, t_linear if leaf == "kernel" else t_id)
+    conv = lambda k: (k + "." + suff, t_conv if leaf == "kernel" else t_id)
+    convT = lambda k: (k + "." + suff, t_convT4 if leaf == "kernel" else t_id)
+    norm = lambda k: (k + "." + suff, t_id)
+
+    if p[0] == "backbone":
+        # official DINOv2 naming (fused qkv, ls gamma), NOT the HF layout
+        b = "pretrained"
+        name = p[1]
+        if name == "patch_embed":
+            return conv(f"{b}.patch_embed.proj")
+        if name == "cls":
+            return f"{b}.cls_token", lambda w: np.asarray(w)[0, 0]
+        if name == "pos":
+            return f"{b}.pos_embed", lambda w: np.asarray(w)[0]
+        if name == "ln_final":
+            return norm(f"{b}.norm")
+        m = re.match(r"block_(\d+)$", name)
+        if m:
+            lb = f"{b}.blocks.{m[1]}"
+            sub = p[2]
+            table = {"ln1": norm(f"{lb}.norm1"), "qkv": lin(f"{lb}.attn.qkv"),
+                     "proj": lin(f"{lb}.attn.proj"), "ln2": norm(f"{lb}.norm2"),
+                     "fc1": lin(f"{lb}.mlp.fc1"), "fc2": lin(f"{lb}.mlp.fc2")}
+            if sub in table:
+                return table[sub]
+            if sub == "ls1":
+                return f"{lb}.ls1.gamma", t_id
+            if sub == "ls2":
+                return f"{lb}.ls2.gamma", t_id
+    if p[0] == "head":
+        h = "depth_head"
+        name = p[1]
+        m = re.match(r"proj_(\d)$", name)
+        if m:
+            return conv(f"{h}.projects.{m[1]}")
+        m = re.match(r"resize_(\d)$", name)
+        if m:
+            i = m[1]
+            return (convT if i in ("0", "1") else conv)(f"{h}.resize_layers.{i}")
+        m = re.match(r"layer(\d)_rn$", name)
+        if m:
+            return conv(f"{h}.scratch.layer{m[1]}_rn")
+        m = re.match(r"refinenet(\d)_(rcu1|rcu2|out)$", name)
+        if m:
+            rb = f"{h}.scratch.refinenet{m[1]}"
+            if m[2] == "out":
+                return conv(f"{rb}.out_conv")
+            unit = {"rcu1": "resConfUnit1", "rcu2": "resConfUnit2"}[m[2]]
+            return conv(f"{rb}.{unit}.{p[2]}")
+        if name == "out1":
+            return conv(f"{h}.scratch.output_conv1")
+        if name == "out2":
+            return conv(f"{h}.scratch.output_conv2.0")
+        if name == "out3":
+            return conv(f"{h}.scratch.output_conv2.2")
+    raise KeyError(f"unmapped DepthAnything param {'/'.join(path)}")
+
+
+def convert_depth_anything(our_tree, state: Mapping[str, Any]):
+    return _convert2(our_tree, _da2_key, state)
+
+
+# ---- SDXL / SD2.1 UNet (use_linear_projection transformers) ----------------
+
+def t_lin_as_conv11(w):
+    """diffusers Linear (O,I) → our 1x1 conv kernel (1,1,I,O)."""
+    return np.transpose(w)[None, None]
+
+
+def _unet_key_linear_proj(path: tuple[str, ...], n_levels: int):
+    """SDXL/SD2.1 variant: SpatialTransformer proj_in/proj_out are Linear
+    in diffusers (use_linear_in_transformer) but 1x1 convs here."""
+    key, tf = _unet_key(path, n_levels)
+    p = [q for q in path if q != "params"]
+    if len(p) >= 2 and p[1] in ("proj_in", "proj_out") and p[-1] == "kernel":
+        return key, t_lin_as_conv11
+    return key, tf
+
+
+def convert_unet_sdxl(our_tree, hf_state: Mapping[str, Any], n_levels: int = 3):
+    return _convert(our_tree, lambda p: _unet_key_linear_proj(p, n_levels),
+                    hf_state)

@@ -17,7 +17,7 @@ from anyedit_tpu.models.gdino import GroundingDINO, TINY_GDINO
 from anyedit_tpu.models.lama import LamaGenerator, TINY_LAMA
 from anyedit_tpu.weights.convert import (
     _gdino_key, _lama_key, convert_gdino, convert_lama,
-    t_conv, t_linear, t_id, t_fu_pack, t_fu_vec, _split3,
+    t_conv, t_linear, t_id, t_fu_pack, t_fu_vec, t_convT4, _split3,
 )
 
 
@@ -67,6 +67,9 @@ def _inverse_src(tree, key_fn):
         if tf is t_conv:
             h, w, i, o = leaf.shape
             src[key] = rng.standard_normal((o, i, h, w)).astype(np.float32)
+        elif tf is t_convT4:
+            h, w, o, i = leaf.shape
+            src[key] = rng.standard_normal((i, o, h, w)).astype(np.float32)
         elif tf is t_linear:
             src[key] = rng.standard_normal(leaf.T.shape).astype(np.float32)
         elif tf is t_fu_pack:
@@ -76,6 +79,10 @@ def _inverse_src(tree, key_fn):
             src[key] = rng.standard_normal(leaf.shape).astype(np.float32)
         elif key == "__logit_bias__":
             src[key] = np.zeros(())
+        elif key.endswith("cls_token"):
+            src[key] = rng.standard_normal((1, 1) + leaf.shape).astype(np.float32)
+        elif key.endswith("pos_embed"):
+            src[key] = rng.standard_normal((1,) + leaf.shape).astype(np.float32)
         else:
             # convT kernels (leaf (k,k,O,I); torch (I,O,k,k)) + identity
             if leaf.ndim == 4 and key.endswith("weight") and "model." in key:
@@ -245,3 +252,34 @@ def test_hed_converter_and_structure():
     np.testing.assert_allclose(np.asarray(y0)[0, 0, 0],
                                scipy.special.expit(np.mean([0, 1, 2, 3, 4])),
                                atol=1e-6)
+
+
+def test_depth_anything_converter_total():
+    """DA-V2 converter: official naming coverage (pretrained.* dinov2 fused
+    qkv + depth_head.* scratch/refinenet/resize layout), exact landing."""
+    import dataclasses as dc
+    import jax.numpy as jnp
+    from anyedit_tpu.models.depth import DepthAnythingV2, TINY_DEPTH
+    from anyedit_tpu.weights.convert import _da2_key, convert_depth_anything
+
+    cfg = dc.replace(TINY_DEPTH, dtype=jnp.float32)
+    m = DepthAnythingV2(cfg)
+    s = cfg.backbone.img_size
+    px = jnp.zeros((1, s, s, 3))
+    tree = m.init(jax.random.key(0), px)["params"]
+    src = _inverse_src(tree, _da2_key)
+    for want in ("pretrained.blocks.0.attn.qkv.weight",
+                 "pretrained.blocks.0.ls1.gamma",
+                 "depth_head.projects.0.weight",
+                 "depth_head.resize_layers.0.weight",
+                 "depth_head.scratch.layer1_rn.weight",
+                 "depth_head.scratch.refinenet4.resConfUnit2.conv1.weight",
+                 "depth_head.scratch.refinenet1.out_conv.weight",
+                 "depth_head.scratch.output_conv2.2.weight"):
+        assert want in src, want
+    out = convert_depth_anything(tree, src)
+    np.testing.assert_array_equal(
+        out["head"]["layer1_rn"]["kernel"],
+        np.transpose(src["depth_head.scratch.layer1_rn.weight"], (2, 3, 1, 0)))
+    d = m.apply({"params": out}, px)
+    assert d.shape == (1, s, s) and np.isfinite(np.asarray(d)).all()

@@ -101,3 +101,24 @@ def test_executor_batched_grounding_equivalent(tmp_path):
     assert calls["n"] < 2 * len(recs)
     # spec covers the remove family used here
     assert _first_ground_spec(recs[0]) == ("red square", "merge", None)
+
+
+def test_executor_saves_visual_input_channel(tmp_path):
+    """visual_* pipelines' product is the condition channel — it must be
+    written and recorded (visual_condition_tool.py saves it per record)."""
+    from anyedit_tpu.core.schema import InstructionRecord
+    from anyedit_tpu.edits.types import EditOutcome
+
+    tb = make_toolbox()
+    rec = InstructionRecord(edit="follow the [sketch]", input="a",
+                            output="b", edit_type="visual_sketch",
+                            edited_object="red square",
+                            image_file="img_0.jpg")
+    ex = FactoryExecutor(tb, ExecutorConfig(output_root=str(tmp_path),
+                                            run_pre_filter=False,
+                                            run_post_filter=False))
+    report = ex.run([rec], _loader)
+    assert report["counts"]["success"] == 1
+    vis = list((tmp_path / "visual_input").glob("*.png"))
+    assert len(vis) == 1
+    assert rec.visual_input == vis[0].name

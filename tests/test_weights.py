@@ -147,3 +147,46 @@ def test_sam_converter_roundtrip():
     out = convert_sam(tree, hf)
     for a, b in zip(jax.tree.leaves(tree), jax.tree.leaves(out)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sdxl_unet_converter_roundtrip():
+    """SDXL variant: linear proj_in/out reshape into our 1x1 convs; the
+    micro-conditioning add_embedding keys map; per-level transformer
+    depths are honored."""
+    from anyedit_tpu.models.unet_sd import TINY_XL_UNET
+    from anyedit_tpu.weights.convert import (
+        _unet_key_linear_proj, convert_unet_sdxl, t_lin_as_conv11)
+
+    cfg = dataclasses.replace(TINY_XL_UNET, dtype=jnp.float32)
+    model = UNet2DCondition(cfg)
+    key = jax.random.key(0)
+    x = jnp.zeros((1, 8, 8, cfg.in_channels))
+    t = jnp.zeros((1,), jnp.int32)
+    ctx = jnp.zeros((1, 4, cfg.context_dim))
+    pooled = jnp.zeros((1, cfg.addition_embed_dim))
+    tids = jnp.zeros((1, cfg.addition_time_dim))
+    tree = model.init(key, x, t, ctx, pooled_text=pooled, time_ids=tids)
+    n_levels = len(cfg.block_channels)
+
+    inv = {id(t_conv): lambda w: np.transpose(w, (3, 2, 0, 1)),
+           id(t_linear): np.transpose, id(t_id): np.asarray,
+           id(t_lin_as_conv11): lambda w: np.transpose(w[0, 0])}
+    hf = {}
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, path + (k,))
+        else:
+            k, tf = _unet_key_linear_proj(path, n_levels)
+            assert k not in hf, k
+            hf[k] = inv[id(tf)](np.asarray(node))
+
+    walk(jax.tree.map(np.asarray, tree), ())
+    assert "add_embedding.linear_1.weight" in hf
+    # linear proj stored as 2-D in the diffusers checkpoint
+    pk = [k for k in hf if k.endswith("proj_in.weight")]
+    assert pk and all(hf[k].ndim == 2 for k in pk)
+    out = convert_unet_sdxl(tree, hf, n_levels=n_levels)
+    chex = __import__("chex")
+    chex.assert_trees_all_close(out, jax.tree.map(np.asarray, tree))
