@@ -47,6 +47,7 @@ class CLIPVisionConfig:
     layers: int = 24
     heads: int = 16
     proj_dim: int = 768
+    mlp_dim: int = 0          # 0 → 4·hidden; EVA-g uses 6144 (ratio 4.3637)
     dtype: Any = jnp.bfloat16
     activation: str = "quick_gelu"
 
@@ -57,11 +58,11 @@ CLIP_H_VISION = CLIPVisionConfig(hidden=1280, layers=32, heads=16,
 CLIP_B32_VISION = CLIPVisionConfig(patch=32, hidden=768, layers=12, heads=12,
                                    proj_dim=512)
 # EVA ViT-g/14 — BLIP-2's frozen image encoder (feature width 1408,
-# reference Blip2ForConditionalGeneration vision tower). Stand-in on the
-# CLIP ViT skeleton; EVA's 4.36x MLP ratio is approximated by 4x.
+# reference Blip2ForConditionalGeneration vision tower): exact 6144-wide
+# MLP (EVA's 4.3637 ratio), 39 post-embed layers.
 EVA_VIT_G = CLIPVisionConfig(image_size=224, patch=14, hidden=1408,
                              layers=39, heads=16, proj_dim=1024,
-                             activation="gelu")
+                             mlp_dim=6144, activation="gelu")
 TINY_VISION = CLIPVisionConfig(image_size=32, patch=8, hidden=32, layers=2,
                                heads=2, proj_dim=16)
 
@@ -78,6 +79,7 @@ class CLIPBlock(nn.Module):
     dtype: Any
     activation: str
     tag: str
+    mlp_dim: int = 0          # 0 → 4·hidden
 
     @nn.compact
     def __call__(self, x, mask_bias=None):
@@ -89,7 +91,8 @@ class CLIPBlock(nn.Module):
                                   dtype=self.dtype, qkv_bias=True, name="attn")
         x = x + attn(h, None, self._processor(mask_bias), None)
         h = LayerNorm(dtype=self.dtype, name="ln2")(x)
-        h = nn.Dense(self.hidden * 4, dtype=self.dtype, name="fc1")(h)
+        h = nn.Dense(self.mlp_dim or self.hidden * 4, dtype=self.dtype,
+                     name="fc1")(h)
         h = _act(self.activation)(h)
         h = nn.Dense(self.hidden, dtype=self.dtype, name="fc2")(h)
         return x + h
@@ -165,7 +168,7 @@ class CLIPVisionEncoder(nn.Module):
         x = LayerNorm(dtype=c.dtype, name="pre_ln")(x)
         for i in range(c.layers):
             x = CLIPBlock(c.hidden, c.heads, c.dtype, c.activation,
-                          f"vis.{i}", name=f"block_{i}")(x)
+                          f"vis.{i}", mlp_dim=c.mlp_dim, name=f"block_{i}")(x)
         pooled = LayerNorm(dtype=c.dtype, name="post_ln")(x[:, 0])
         z = nn.Dense(c.proj_dim, use_bias=False, dtype=jnp.float32,
                      name="visual_proj")(pooled.astype(jnp.float32))

@@ -26,17 +26,25 @@ from anyedit_tpu.models.unet_sd import ResBlock, SpatialTransformer, UNetConfig
 
 
 class HintEncoder(nn.Module):
-    """Hint image (B, H·8, W·8, C_hint) → latent-resolution features."""
+    """Hint image (B, H·8, W·8, C_hint) → latent-resolution features.
+
+    Exact structural parity with the reference's `input_hint_block`
+    (cldm/cldm.py:146-163): seven SiLU convs 16,16,32s2,32,96s2,96,256s2
+    followed by a zero-init 3×3 projection to `out_channels`, so real
+    AnyDoor/ControlNet checkpoints map one-to-one.
+    """
 
     out_channels: int
     cfg: UNetConfig
+
+    # (channels, stride) per conv — torch indices 0,2,4,6,8,10,12
+    PYRAMID = ((16, 1), (16, 1), (32, 2), (32, 1), (96, 2), (96, 1), (256, 2))
 
     @nn.compact
     def __call__(self, hint):
         c = self.cfg
         h = hint.astype(c.dtype)
-        for i, ch in enumerate((16, 32, 96, 256)):
-            stride = 2 if i > 0 else 1
+        for i, (ch, stride) in enumerate(self.PYRAMID):
             h = Conv3x3(ch, stride=stride, dtype=c.dtype, name=f"conv_{i}")(h)
             h = nn.silu(h)
         return nn.Conv(self.out_channels, (3, 3), padding="SAME",

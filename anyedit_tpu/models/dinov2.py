@@ -28,11 +28,18 @@ class DinoV2Config:
     depth: int = 24
     heads: int = 16
     layerscale_init: float = 1e-5
+    # ViT-S/B/L use a plain GELU MLP; ViT-g ("giant2") uses SwiGLU-fused
+    # (dinov2 hub swiglufused: hidden = round(dim*4 * 2/3 / 8) * 8).
+    ffn: str = "mlp"
     dtype: Any = jnp.bfloat16
+
+    @property
+    def swiglu_hidden(self) -> int:
+        return int(self.dim * 4 * 2 / 3 + 7) // 8 * 8
 
 
 DINOV2_L = DinoV2Config()
-DINOV2_G = DinoV2Config(dim=1536, depth=40, heads=24)
+DINOV2_G = DinoV2Config(dim=1536, depth=40, heads=24, ffn="swiglu")
 TINY_DINO = DinoV2Config(img_size=28, patch=7, dim=32, depth=2, heads=2)
 
 
@@ -54,9 +61,17 @@ class DinoBlock(nn.Module):
                         (c.dim,), jnp.float32)
         x = x + g1 * o
         h = LayerNorm(dtype=c.dtype, eps=1e-6, name="ln2")(x)
-        h = nn.Dense(4 * c.dim, dtype=c.dtype, name="fc1")(h)
-        # official DINOv2 uses torch nn.GELU (exact erf)
-        h = nn.Dense(c.dim, dtype=c.dtype, name="fc2")(nn.gelu(h, approximate=False))
+        if c.ffn == "swiglu":
+            # hub SwiGLUFFNFused: w12 → (w1 | w2), out = w3(silu(w1·x) ⊙ w2·x)
+            hid = c.swiglu_hidden
+            h12 = nn.Dense(2 * hid, dtype=c.dtype, name="w12")(h)
+            h = nn.Dense(c.dim, dtype=c.dtype, name="w3")(
+                nn.silu(h12[..., :hid]) * h12[..., hid:])
+        else:
+            h = nn.Dense(4 * c.dim, dtype=c.dtype, name="fc1")(h)
+            # official DINOv2 uses torch nn.GELU (exact erf)
+            h = nn.Dense(c.dim, dtype=c.dtype, name="fc2")(
+                nn.gelu(h, approximate=False))
         g2 = self.param("ls2", nn.initializers.constant(c.layerscale_init),
                         (c.dim,), jnp.float32)
         return x + g2 * h

@@ -42,36 +42,46 @@ class ImageProjection(nn.Module):
 
 
 class Resampler(nn.Module):
-    """Perceiver resampler (IP-Adapter-Plus): patch tokens → N latents."""
+    """Perceiver resampler (IP-Adapter-Plus): patch tokens → N latents.
+
+    Structural parity with the reference's resampler.py (PerceiverAttention:
+    separate norms for image features and latents, fused bias-free to_kv over
+    cat(x, latents), bias-free FF) so real `image_proj` checkpoints map 1:1.
+    """
 
     num_latents: int = 16
     dim: int = 768
     depth: int = 4
     heads: int = 12
     out_dim: int = 768
+    head_dim: int = 0        # 0 → dim // heads (reference default 64)
 
     @nn.compact
     def __call__(self, tokens):
         b = tokens.shape[0]
+        hd = self.head_dim or self.dim // self.heads
+        inner = hd * self.heads
         lat = self.param("latents", nn.initializers.normal(0.02),
                          (self.num_latents, self.dim), jnp.float32)
         x = jnp.broadcast_to(lat[None], (b, self.num_latents, self.dim))
         toks = nn.Dense(self.dim, name="in_proj")(tokens.astype(jnp.float32))
-        hd = self.dim // self.heads
+        nb = lambda n, d_: nn.Dense(d_, use_bias=False, name=n)
         for i in range(self.depth):
-            ln_q = LayerNorm(dtype=jnp.float32, name=f"lnq_{i}")(x)
-            ln_kv = LayerNorm(dtype=jnp.float32, name=f"lnkv_{i}")(
-                jnp.concatenate([toks, x], axis=1))
-            sp = lambda t_, l: t_.reshape(b, l, self.heads, hd).transpose(0, 2, 1, 3)
-            q = sp(nn.Dense(self.dim, name=f"q_{i}")(ln_q), self.num_latents)
-            k = sp(nn.Dense(self.dim, name=f"k_{i}")(ln_kv), ln_kv.shape[1])
-            v = sp(nn.Dense(self.dim, name=f"v_{i}")(ln_kv), ln_kv.shape[1])
+            x_n = LayerNorm(dtype=jnp.float32, name=f"norm1_{i}")(toks)
+            l_n = LayerNorm(dtype=jnp.float32, name=f"norm2_{i}")(x)
+            kv_in = jnp.concatenate([x_n, l_n], axis=1)
+            sp = lambda t_, l: t_.reshape(b, l, self.heads, hd
+                                          ).transpose(0, 2, 1, 3)
+            q = sp(nb(f"q_{i}", inner)(l_n), self.num_latents)
+            kv = nb(f"kv_{i}", 2 * inner)(kv_in)
+            k = sp(kv[..., :inner], kv_in.shape[1])
+            v = sp(kv[..., inner:], kv_in.shape[1])
             o = sdpa_xla(q, k, v).transpose(0, 2, 1, 3).reshape(
-                b, self.num_latents, self.dim)
-            x = x + nn.Dense(self.dim, name=f"o_{i}")(o)
-            h = LayerNorm(dtype=jnp.float32, name=f"lnf_{i}")(x)
-            h = nn.Dense(self.dim * 4, name=f"ff1_{i}")(h)
-            x = x + nn.Dense(self.dim, name=f"ff2_{i}")(nn.gelu(h))
+                b, self.num_latents, inner)
+            x = x + nb(f"o_{i}", self.dim)(o)
+            h = LayerNorm(dtype=jnp.float32, name=f"ffln_{i}")(x)
+            h = nb(f"ff1_{i}", self.dim * 4)(h)
+            x = x + nb(f"ff2_{i}", self.dim)(nn.gelu(h))
         x = nn.Dense(self.out_dim, name="out_proj")(x)
         return LayerNorm(dtype=jnp.float32, name="out_norm")(x)
 

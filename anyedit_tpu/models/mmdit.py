@@ -37,13 +37,19 @@ class MMDiTConfig:
     heads: int = 24
     context_dim: int = 4096            # T5-XXL hidden
     pooled_dim: int = 2048             # CLIP-L + CLIP-G pooled concat
-    max_hw: int = 96                   # max latent H=W after patching ×2
+    # learned positional grid; the runtime center-crops to the active grid
+    # (diffusers PatchEmbed pos_embed_max_size=192 for SD3-medium)
+    max_hw: int = 192
+    # per-head RMS q/k norm: absent in SD3-medium (UltraEdit's base),
+    # present in SD3.5
+    qk_norm: bool = False
     dtype: Any = jnp.bfloat16
 
 
 SD3_MEDIUM = MMDiTConfig()
 # UltraEdit editing wiring: noisy(16) + source latents(16) + mask(1)
 SD3_ULTRAEDIT = dataclasses.replace(SD3_MEDIUM, in_channels=33)
+SD35_MEDIUM = dataclasses.replace(SD3_MEDIUM, qk_norm=True)
 TINY_MMDIT = MMDiTConfig(in_channels=4, out_channels=4, patch=2, dim=32,
                          depth=2, heads=2, context_dim=16, pooled_dim=8,
                          max_hw=8)
@@ -81,7 +87,12 @@ class MMDiTBlock(nn.Module):
             return jnp.split(m, n, axis=-1)
 
         si1, sc1, g1, si2, sc2, g2 = mods("img_mod", 6)
-        ti1, tc1, tg1, ti2, tc2, tg2 = mods("txt_mod", 6)
+        if self.final_text:
+            # last block: context gets a plain scale/shift norm only
+            # (diffusers AdaLayerNormContinuous; stored here shift-first)
+            ti1, tc1 = mods("txt_mod", 2)
+        else:
+            ti1, tc1, tg1, ti2, tc2, tg2 = mods("txt_mod", 6)
 
         ln = lambda x: nn.LayerNorm(use_bias=False, use_scale=False,
                                     dtype=jnp.float32)(x.astype(jnp.float32))
@@ -94,8 +105,10 @@ class MMDiTBlock(nn.Module):
             v = nn.Dense(d, dtype=c.dtype, name=f"{prefix}_v")(x)
             sp = lambda t: t.reshape(t.shape[0], t.shape[1], c.heads, hd
                                      ).transpose(0, 2, 1, 3)
-            q = _RMSNormQK(name=f"{prefix}_qn")(sp(q))
-            k = _RMSNormQK(name=f"{prefix}_kn")(sp(k))
+            q, k = sp(q), sp(k)
+            if c.qk_norm:
+                q = _RMSNormQK(name=f"{prefix}_qn")(q)
+                k = _RMSNormQK(name=f"{prefix}_kn")(k)
             return q, k, sp(v)
 
         qi, ki, vi = qkv(img_n, "img")
@@ -146,7 +159,10 @@ class MMDiT(nn.Module):
         img = nn.Dense(c.dim, dtype=c.dtype, name="patch_in")(img)
         pos = self.param("pos_emb", nn.initializers.normal(0.02),
                          (c.max_hw, c.max_hw, c.dim), jnp.float32)
-        img = img + pos[:gh, :gw].reshape(1, gh * gw, c.dim).astype(c.dtype)
+        # centered crop of the positional grid (diffusers cropped_pos_embed)
+        top, left = (c.max_hw - gh) // 2, (c.max_hw - gw) // 2
+        img = img + pos[top:top + gh, left:left + gw].reshape(
+            1, gh * gw, c.dim).astype(c.dtype)
         img = img.astype(jnp.float32)
 
         txt = nn.Dense(c.dim, dtype=c.dtype, name="ctx_in")(

@@ -352,6 +352,20 @@ class ModelZoo:
             return jnp.concatenate([hl, hg], axis=-1), pg
         return encode
 
+    def _t5_ids(self, text: str, max_len: int) -> "np.ndarray":
+        """Real SentencePiece unigram ids when `spiece.model` ships next to
+        the weights (HF T5 convention); BERT-hash fallback otherwise."""
+        sp = getattr(self, "_spiece", False)
+        if sp is False:
+            sp = None
+            if self.weights and (self.weights / "spiece.model").exists():
+                from anyedit_tpu.models.sentencepiece import SentencePieceModel
+                sp = SentencePieceModel.from_file(self.weights / "spiece.model")
+            self._spiece = sp
+        if sp is None:
+            return self._ids(text, max_len, self.cfg.flux_text.vocab_size)
+        return np.asarray([sp.encode_padded(text, max_len)], np.int32)
+
     def _t5(self):
         """T5 encoder (Flux/SD3 long-text context): text → (1,L,dim)."""
         def build():
@@ -362,8 +376,7 @@ class ModelZoo:
             fn = jax.jit(lambda ids: t5.apply(params, ids))
 
             def encode(text: str):
-                ids_a = self._ids(text, ml, self.cfg.flux_text.vocab_size)
-                return fn(jnp.asarray(ids_a))
+                return fn(jnp.asarray(self._t5_ids(text, ml)))
             return encode
         return self._get("t5", build)
 
@@ -451,7 +464,7 @@ class ModelZoo:
         (reference cldm/cldm.py:307 + ldm encoders modules.py:279)."""
         def build():
             import dataclasses as dc
-            from anyedit_tpu.models.dinov2 import DinoV2, DINOV2_L
+            from anyedit_tpu.models.dinov2 import DinoV2, DINOV2_G, DINOV2_L
             from anyedit_tpu.schedulers import ddim_init, ddim_step
             from flax import linen as nn
 
@@ -461,8 +474,10 @@ class ModelZoo:
             unet_cfg = c.anydoor_unet
             unet = UNet2DCondition(unet_cfg)
             cn = ControlNet(unet_cfg)
-            dino_cfg = DINOV2_L if self.weights else dc.replace(
-                DINOV2_L, img_size=56, depth=2, dim=64, heads=2)
+            # FrozenDinoV2Encoder feeds ViT-g/14 at 224px → 257 tokens of
+            # width 1536 (ldm encoders modules.py:279 "8,257,1024" post-proj)
+            dino_cfg = dc.replace(DINOV2_G, img_size=224) if self.weights \
+                else dc.replace(DINOV2_L, img_size=56, depth=2, dim=64, heads=2)
             dino = DinoV2(dino_cfg)
             n_dino_tokens = (dino_cfg.img_size // dino_cfg.patch) ** 2 + 1
 
@@ -478,7 +493,7 @@ class ModelZoo:
                              self.seed)
             dpx = jnp.zeros((1, dino_cfg.img_size, dino_cfg.img_size, 3),
                             jnp.float32)
-            dp = load_params(dino, (dpx,), self._wf("dinov2"), self.seed)
+            dp = load_params(dino, (dpx,), self._wf("dinov2_g"), self.seed)
 
             class _Proj(nn.Module):
                 """DINOv2 token sequence → UNet context (the reference's

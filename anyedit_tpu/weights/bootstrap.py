@@ -173,6 +173,112 @@ def _hed(src):
     return C.convert_hed(tree, src)
 
 
+def _dinov2_g(src):
+    """AnyDoor's conditioner: torch-hub dinov2_vitg14 at 224px (257 tokens)."""
+    import dataclasses
+    from anyedit_tpu.models.dinov2 import DinoV2, DINOV2_G
+    cfg = dataclasses.replace(DINOV2_G, img_size=224)
+    m = DinoV2(cfg)
+    tree = _abstract(m, jnp.zeros((1, 224, 224, 3), jnp.float32))
+    return C.convert_dinov2_hub(tree, src)
+
+
+def _anydoor_unet(src):
+    """ControlledUnetModel out of the single AnyDoor ControlLDM ckpt."""
+    from anyedit_tpu.models.unet_sd import SD21_ANYDOOR_UNET, UNet2DCondition
+    cfg = SD21_ANYDOOR_UNET
+    m = UNet2DCondition(cfg)
+    x = jnp.zeros((1, 8, 8, cfg.in_channels), jnp.float32)
+    tree = _abstract(m, x, jnp.zeros((1,), jnp.int32),
+                     jnp.zeros((1, 257, cfg.context_dim), jnp.float32))
+    return C.convert_ldm_unet(tree, src, n_levels=len(cfg.block_channels),
+                              lpb=cfg.layers_per_block,
+                              attn_levels=cfg.attn_levels)
+
+
+def _anydoor_controlnet(src):
+    from anyedit_tpu.models.controlnet import ControlNet
+    from anyedit_tpu.models.unet_sd import SD21_ANYDOOR_UNET
+    cfg = SD21_ANYDOOR_UNET
+    m = ControlNet(cfg)
+    x = jnp.zeros((1, 8, 8, cfg.in_channels), jnp.float32)
+    hint = jnp.zeros((1, 64, 64, 4), jnp.float32)
+    tree = _abstract(m, x, jnp.zeros((1,), jnp.int32),
+                     jnp.zeros((1, 257, cfg.context_dim), jnp.float32), hint)
+    return C.convert_controlnet_anydoor(
+        tree, src, n_levels=len(cfg.block_channels),
+        lpb=cfg.layers_per_block, attn_levels=cfg.attn_levels)
+
+
+def _anydoor_proj(src):
+    from flax import linen as nn
+    from anyedit_tpu.models.unet_sd import SD21_ANYDOOR_UNET
+    from anyedit_tpu.models.dinov2 import DINOV2_G
+
+    class _Proj(nn.Module):
+        @nn.compact
+        def __call__(self, e):
+            return nn.Dense(SD21_ANYDOOR_UNET.context_dim,
+                            dtype=jnp.float32)(e)
+
+    tree = _abstract(_Proj(), jnp.zeros((1, 257, DINOV2_G.dim), jnp.float32))
+    return C.convert_anydoor_projector(tree, src)
+
+
+def _anydoor_vae(src):
+    """first_stage_model (ldm AutoencoderKL naming) from the AnyDoor ckpt."""
+    from anyedit_tpu.models.vae import AutoencoderKL, SD_VAE
+    m = AutoencoderKL(SD_VAE)
+    tree = _abstract(m, jnp.zeros((1, 64, 64, 3), jnp.float32))
+    return C.convert_vae_ldm(tree, src)
+
+
+def _mmdit_ultraedit(src):
+    """UltraEdit SD3 transformer (SD3Transformer2DModel, in_channels 33)."""
+    from anyedit_tpu.models.mmdit import MMDiT, SD3_ULTRAEDIT
+    cfg = SD3_ULTRAEDIT
+    m = MMDiT(cfg)
+    x = jnp.zeros((1, 16, 16, cfg.in_channels), jnp.float32)
+    tree = _abstract(m, x, jnp.zeros((1,), jnp.float32),
+                     jnp.zeros((1, 77, cfg.context_dim), jnp.float32),
+                     jnp.zeros((1, cfg.pooled_dim), jnp.float32))
+    return C.convert_mmdit(tree, src)
+
+
+def _flux(src):
+    from anyedit_tpu.models.flux import Flux, FLUX_SCHNELL
+    cfg = FLUX_SCHNELL
+    m = Flux(cfg)
+    x = jnp.zeros((1, 16, 16, cfg.in_channels), jnp.float32)
+    tree = _abstract(m, x, jnp.zeros((1,), jnp.float32),
+                     jnp.zeros((1, 77, cfg.context_dim), jnp.float32),
+                     jnp.zeros((1, cfg.pooled_dim), jnp.float32))
+    return C.convert_flux(tree, src)
+
+
+def _ip_proj(src):
+    """IP-Adapter-XL image projection (ip-adapter_sdxl.bin image_proj)."""
+    from anyedit_tpu.runtime.zoo import ZooConfig
+    from anyedit_tpu.models.ip_adapter import ImageProjection
+    c = ZooConfig()
+    m = ImageProjection(num_tokens=4, context_dim=c.refine_unet.context_dim)
+    tree = _abstract(m, jnp.zeros((1, c.vision.proj_dim), jnp.float32))
+    return C.convert_image_projection(tree, src)
+
+
+def _ip_adapter(src):
+    """IP-Adapter-XL per-site decoupled K/V (ip-adapter_sdxl.bin ip_adapter)."""
+    from anyedit_tpu.runtime.zoo import ZooConfig
+    from anyedit_tpu.models.ip_adapter import (IPAdapterWeights,
+                                               cross_attn_sites)
+    c = ZooConfig()
+    names, dims = cross_attn_sites(c.refine_unet)
+    m = IPAdapterWeights(names, dims, c.refine_unet.context_dim)
+    tree = _abstract(
+        m, jnp.zeros((1, 4, c.refine_unet.context_dim), jnp.float32))
+    return C.convert_ip_adapter_weights(tree, src, names)
+
+
 def _aesthetic(src):
     from anyedit_tpu.filters.scorers import AestheticMLP
     m = AestheticMLP()
@@ -200,6 +306,20 @@ REGISTRY: dict[str, tuple[str, Callable]] = {
     "hed": ("lllyasviel ControlNetHED.pth", _hed),
     "depth": ("depth_anything_v2_vitl.pth", _depth),
     "aesthetic": ("sac+logos+ava1-l14-linearMSE.pth", _aesthetic),
+    # AnyDoor: the four pieces of the one ControlLDM checkpoint
+    # (epoch=1-step=8687.ckpt) + the hub DINOv2 ViT-g conditioner
+    "unet_anydoor": ("anydoor ckpt (model.diffusion_model.*)", _anydoor_unet),
+    "controlnet_anydoor": ("anydoor ckpt (control_model.*)",
+                           _anydoor_controlnet),
+    "anydoor_proj": ("anydoor ckpt (cond_stage_model.projector.*)",
+                     _anydoor_proj),
+    "vae_anydoor": ("anydoor ckpt (first_stage_model.*)", _anydoor_vae),
+    "dinov2_g": ("dinov2_vitg14_pretrain.pth (torch hub)", _dinov2_g),
+    "mmdit_ultraedit": ("BleachNick/SD3-UltraEdit-w-mask transformer",
+                        _mmdit_ultraedit),
+    "flux": ("black-forest-labs/FLUX.1-schnell transformer", _flux),
+    "ip_proj": ("h94/IP-Adapter sdxl .bin (image_proj group)", _ip_proj),
+    "ip_adapter": ("h94/IP-Adapter sdxl .bin (ip_adapter group)", _ip_adapter),
 }
 
 

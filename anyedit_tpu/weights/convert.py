@@ -1062,3 +1062,578 @@ def _unet_key_linear_proj(path: tuple[str, ...], n_levels: int):
 def convert_unet_sdxl(our_tree, hf_state: Mapping[str, Any], n_levels: int = 3):
     return _convert(our_tree, lambda p: _unet_key_linear_proj(p, n_levels),
                     hf_state)
+
+
+# ---- ldm-naming converters (AnyDoor ControlLDM checkpoint) -----------------
+#
+# AnyDoor ships one torch checkpoint holding the whole ControlLDM
+# (cldm/cldm.py:307): `model.diffusion_model.*` (ControlledUnetModel in ldm
+# openaimodel naming), `control_model.*` (ControlNet), `first_stage_model.*`
+# (ldm AutoencoderKL naming), `cond_stage_model.projector.*` (DINOv2→context
+# linear, ldm encoders modules.py:279). These walkers map that naming onto
+# our Flax trees; use_linear_in_transformer=True per anydoor.yaml.
+
+def t_conv11_as_lin(w):
+    """ldm Conv2d 1x1 (O,I,1,1) → our Dense kernel (I,O)."""
+    return np.transpose(np.asarray(w)[:, :, 0, 0])
+
+
+def _ldm_res_sub(base: str, sub: str, leaf: str):
+    suff = {"kernel": "weight", "scale": "weight", "bias": "bias"}[leaf]
+    tf = t_conv if leaf == "kernel" else t_id
+    m = {"norm1": (f"{base}.in_layers.0.{suff}", t_id),
+         "conv1": (f"{base}.in_layers.2.{suff}", tf),
+         "time_emb_proj": (f"{base}.emb_layers.1.{suff}",
+                           t_linear if leaf == "kernel" else t_id),
+         "norm2": (f"{base}.out_layers.0.{suff}", t_id),
+         "conv2": (f"{base}.out_layers.3.{suff}", tf),
+         "skip": (f"{base}.skip_connection.{suff}", tf)}
+    return m[sub]
+
+
+def _ldm_tf_sub(base: str, p: list[str], linear_proj: bool):
+    """Transformer sub-keys: ldm BasicTransformerBlock matches diffusers
+    (attn1/attn2/ff.net.0.proj/net.2, norm1-3); proj_in/out are Linear when
+    use_linear_in_transformer (mapped onto our 1x1 convs)."""
+    leaf = p[-1]
+    suff = {"kernel": "weight", "scale": "weight", "bias": "bias"}[leaf]
+    sub = p[1]
+    if sub == "norm":
+        return f"{base}.norm.{suff}", t_id
+    if sub in ("proj_in", "proj_out"):
+        if leaf == "kernel":
+            return (f"{base}.{sub}.weight",
+                    t_lin_as_conv11 if linear_proj else t_conv)
+        return f"{base}.{sub}.bias", t_id
+    d = sub.split("_")[1]
+    tb = f"{base}.transformer_blocks.{d}"
+    s2 = p[2]
+    if s2 in ("norm1", "norm2", "norm3"):
+        return f"{tb}.{s2}.{suff}", t_id
+    if s2 in ("attn1", "attn2"):
+        s3 = p[3]
+        tgt = f"{tb}.{s2}.to_out.0" if s3 == "to_out" else f"{tb}.{s2}.{s3}"
+        return f"{tgt}.{suff}", (t_linear if leaf == "kernel" else t_id)
+    if s2 == "ff":
+        tgt = f"{tb}.ff.net.0.proj" if p[3] == "GEGLU_0" else f"{tb}.ff.net.2"
+        return f"{tgt}.{suff}", (t_linear if leaf == "kernel" else t_id)
+    raise KeyError(tuple(p))
+
+
+def _ldm_unet_key(path: tuple[str, ...], n_levels: int, lpb: int,
+                  attn_levels: tuple[bool, ...], prefix: str,
+                  linear_proj: bool = True):
+    """Our UNet2DCondition param path → ldm openaimodel state-dict key."""
+    import re
+    p = [q for q in path if q != "params"]
+    name, leaf = p[0], p[-1]
+    suff = {"kernel": "weight", "scale": "weight", "bias": "bias"}[leaf]
+    tf_conv = t_conv if leaf == "kernel" else t_id
+    tf_lin = t_linear if leaf == "kernel" else t_id
+
+    def down_idx(lvl, i):
+        return 1 + lvl * (lpb + 1) + i
+
+    if name == "conv_in":
+        return f"{prefix}input_blocks.0.0.{suff}", tf_conv
+    if name == "conv_out":
+        return f"{prefix}out.2.{suff}", tf_conv
+    if name == "norm_out":
+        return f"{prefix}out.0.{suff}", t_id
+    if name == "time_fc1":
+        return f"{prefix}time_embed.0.{suff}", tf_lin
+    if name == "time_fc2":
+        return f"{prefix}time_embed.2.{suff}", tf_lin
+
+    m = re.match(r"down_(\d+)_res_(\d+)$", name)
+    if m:
+        base = f"{prefix}input_blocks.{down_idx(int(m[1]), int(m[2]))}.0"
+        return _ldm_res_sub(base, p[1], leaf)
+    m = re.match(r"down_(\d+)_tf_(\d+)$", name)
+    if m:
+        base = f"{prefix}input_blocks.{down_idx(int(m[1]), int(m[2]))}.1"
+        return _ldm_tf_sub(base, p, linear_proj)
+    m = re.match(r"down_(\d+)_ds$", name)
+    if m:
+        idx = 1 + int(m[1]) * (lpb + 1) + lpb
+        return f"{prefix}input_blocks.{idx}.0.op.{suff}", tf_conv
+    m = re.match(r"mid_res_(\d+)$", name)
+    if m:
+        return _ldm_res_sub(f"{prefix}middle_block.{2 * int(m[1])}", p[1], leaf)
+    if name == "mid_tf":
+        return _ldm_tf_sub(f"{prefix}middle_block.1", p, linear_proj)
+    m = re.match(r"up_(\d+)_res_(\d+)$", name)
+    if m:
+        idx = (n_levels - 1 - int(m[1])) * (lpb + 1) + int(m[2])
+        return _ldm_res_sub(f"{prefix}output_blocks.{idx}.0", p[1], leaf)
+    m = re.match(r"up_(\d+)_tf_(\d+)$", name)
+    if m:
+        idx = (n_levels - 1 - int(m[1])) * (lpb + 1) + int(m[2])
+        return _ldm_tf_sub(f"{prefix}output_blocks.{idx}.1", p, linear_proj)
+    m = re.match(r"up_(\d+)_us$", name)
+    if m:
+        lvl = int(m[1])
+        idx = (n_levels - 1 - lvl) * (lpb + 1) + lpb
+        slot = 2 if attn_levels[lvl] else 1
+        return f"{prefix}output_blocks.{idx}.{slot}.conv.{suff}", tf_conv
+    raise KeyError(f"unmapped ldm UNet param {'/'.join(path)}")
+
+
+def convert_ldm_unet(our_tree, state: Mapping[str, Any], n_levels: int = 4,
+                     lpb: int = 2,
+                     attn_levels: tuple[bool, ...] = (True, True, True, False),
+                     prefix: str = "model.diffusion_model.",
+                     linear_proj: bool = True):
+    """ControlledUnetModel / ldm UNetModel weights → our UNet2DCondition."""
+    return _convert(our_tree,
+                    lambda p: _ldm_unet_key(p, n_levels, lpb, attn_levels,
+                                            prefix, linear_proj), state)
+
+
+def _controlnet_key(path: tuple[str, ...], n_levels: int, lpb: int,
+                    attn_levels: tuple[bool, ...], n_zero_mid: int,
+                    prefix: str, linear_proj: bool = True):
+    """Our ControlNet param path → cldm ControlNet key (control_model.*)."""
+    import re
+    p = [q for q in path if q != "params"]
+    name, leaf = p[0], p[-1]
+    suff = {"kernel": "weight", "scale": "weight", "bias": "bias"}[leaf]
+    tf_conv = t_conv if leaf == "kernel" else t_id
+
+    if name == "hint_encoder":
+        sub = p[1]
+        if sub == "proj":
+            return f"{prefix}input_hint_block.14.{suff}", tf_conv
+        i = int(sub.split("_")[1])
+        return f"{prefix}input_hint_block.{2 * i}.{suff}", tf_conv
+    m = re.match(r"zero_(\d+)$", name)
+    if m:
+        n = int(m[1])
+        if n == n_zero_mid:
+            return f"{prefix}middle_block_out.0.{suff}", tf_conv
+        return f"{prefix}zero_convs.{n}.0.{suff}", tf_conv
+    return _ldm_unet_key(path, n_levels, lpb, attn_levels, prefix, linear_proj)
+
+
+def convert_controlnet_anydoor(our_tree, state: Mapping[str, Any],
+                               n_levels: int = 4, lpb: int = 2,
+                               attn_levels: tuple[bool, ...] =
+                               (True, True, True, False),
+                               prefix: str = "control_model.",
+                               linear_proj: bool = True):
+    import re
+    params = our_tree["params"] if "params" in our_tree else our_tree
+    zeros = [int(m[1]) for k in params
+             if (m := re.match(r"zero_(\d+)$", k))]
+    n_zero_mid = max(zeros)
+    return _convert(our_tree,
+                    lambda p: _controlnet_key(p, n_levels, lpb, attn_levels,
+                                              n_zero_mid, prefix, linear_proj),
+                    state)
+
+
+def _ldm_vae_res_sub(base: str, sub: str, leaf: str):
+    suff = {"kernel": "weight", "scale": "weight", "bias": "bias"}[leaf]
+    tf = t_conv if leaf == "kernel" else t_id
+    m = {"norm1": (f"{base}.norm1.{suff}", t_id),
+         "conv1": (f"{base}.conv1.{suff}", tf),
+         "norm2": (f"{base}.norm2.{suff}", t_id),
+         "conv2": (f"{base}.conv2.{suff}", tf),
+         "skip": (f"{base}.nin_shortcut.{suff}", tf)}
+    return m[sub]
+
+
+def _ldm_vae_key(path: tuple[str, ...], prefix: str):
+    """Our AutoencoderKL param path → ldm autoencoder key."""
+    import re
+    p = [q for q in path if q != "params"]
+    half, name, leaf = p[0], p[1], p[-1]
+    suff = {"kernel": "weight", "scale": "weight", "bias": "bias"}[leaf]
+    tf_conv = t_conv if leaf == "kernel" else t_id
+
+    if name == "quant_conv":
+        return f"{prefix}quant_conv.{suff}", tf_conv
+    if name == "post_quant_conv":
+        return f"{prefix}post_quant_conv.{suff}", tf_conv
+    base = f"{prefix}{half}"
+    if name == "conv_in":
+        return f"{base}.conv_in.{suff}", tf_conv
+    if name == "conv_out":
+        return f"{base}.conv_out.{suff}", tf_conv
+    if name == "norm_out":
+        return f"{base}.norm_out.{suff}", t_id
+    m = re.match(r"(down|up)_(\d+)_res_(\d+)$", name)
+    if m:
+        return _ldm_vae_res_sub(
+            f"{base}.{m[1]}.{m[2]}.block.{m[3]}", p[2], leaf)
+    m = re.match(r"down_(\d+)_ds$", name)
+    if m:
+        return f"{base}.down.{m[1]}.downsample.conv.{suff}", tf_conv
+    m = re.match(r"up_(\d+)_us$", name)
+    if m:
+        return f"{base}.up.{m[1]}.upsample.conv.{suff}", tf_conv
+    m = re.match(r"mid_res_(\d+)$", name)
+    if m:
+        return _ldm_vae_res_sub(f"{base}.mid.block_{int(m[1]) + 1}", p[2], leaf)
+    if name == "mid_attn":
+        sub = p[2]
+        a = f"{base}.mid.attn_1"
+        if sub == "norm":
+            return f"{a}.norm.{suff}", t_id
+        # q/k/v/proj_out: ldm Conv2d 1x1 → our Dense
+        return (f"{a}.{sub}.{suff}",
+                t_conv11_as_lin if leaf == "kernel" else t_id)
+    raise KeyError(f"unmapped ldm VAE param {'/'.join(path)}")
+
+
+def convert_vae_ldm(our_tree, state: Mapping[str, Any],
+                    prefix: str = "first_stage_model."):
+    return _convert(our_tree, lambda p: _ldm_vae_key(p, prefix), state)
+
+
+def convert_anydoor_projector(our_tree, state: Mapping[str, Any],
+                              prefix: str = "cond_stage_model.projector."):
+    """FrozenDinoV2Encoder.projector (Linear 1536→1024) → our _Proj Dense."""
+    def key_fn(path):
+        leaf = path[-1]
+        if leaf == "kernel":
+            return f"{prefix}weight", t_linear
+        return f"{prefix}bias", t_id
+    return _convert(our_tree, key_fn, state)
+
+
+def _dinov2_hub_key(path: tuple[str, ...]):
+    """torch-hub DINOv2 naming (dinov2_vitg14_pretrain.pth — what AnyDoor's
+    FrozenDinoV2Encoder loads, ldm encoders modules.py:279) → our DinoV2."""
+    import re
+    p = [q for q in path if q != "params"]
+    name, leaf = p[0], p[-1]
+
+    if name == "cls":
+        return "cls_token", lambda w: np.asarray(w).reshape(-1)
+    if name == "pos":
+        return "pos_embed", lambda w: np.asarray(w)[0]
+    suff = {"kernel": "weight", "scale": "weight", "bias": "bias"}.get(leaf)
+    tf_lin = t_linear if leaf == "kernel" else t_id
+    if name == "patch_embed":
+        return f"patch_embed.proj.{suff}", (t_conv if leaf == "kernel" else t_id)
+    if name == "ln_final":
+        return f"norm.{suff}", t_id
+    m = re.match(r"block_(\d+)$", name)
+    if m:
+        b = f"blocks.{m[1]}"
+        sub = p[1]
+        if sub in ("ls1", "ls2"):       # LayerScale: bare gamma leaf
+            return f"{b}.{sub}.gamma", t_id
+        table = {"ln1": f"{b}.norm1.{suff}", "ln2": f"{b}.norm2.{suff}",
+                 "qkv": f"{b}.attn.qkv.{suff}",
+                 "proj": f"{b}.attn.proj.{suff}",
+                 "fc1": f"{b}.mlp.fc1.{suff}", "fc2": f"{b}.mlp.fc2.{suff}",
+                 "w12": f"{b}.mlp.w12.{suff}", "w3": f"{b}.mlp.w3.{suff}"}
+        key = table[sub]
+        if sub in ("ln1", "ln2"):
+            return key, t_id
+        return key, tf_lin
+    raise KeyError(f"unmapped DINOv2-hub param {'/'.join(path)}")
+
+
+def convert_dinov2_hub(our_tree, state: Mapping[str, Any]):
+    """Convert a torch-hub DINOv2 checkpoint, interpolating the positional
+    grid to our config's resolution (dinov2 interpolate_pos_encoding)."""
+    state = dict(state)
+    params = our_tree["params"] if "params" in our_tree else our_tree
+    n_ours = params["pos"].shape[0] - 1
+    pe = np.asarray(state["pos_embed"], np.float32)
+    n_src = pe.shape[1] - 1
+    if n_src != n_ours:
+        g0, g1 = int(np.sqrt(n_src)), int(np.sqrt(n_ours))
+        d = pe.shape[-1]
+        grid = jax.image.resize(pe[0, 1:].reshape(g0, g0, d), (g1, g1, d),
+                                method="bicubic")
+        state["pos_embed"] = np.concatenate(
+            [pe[:, :1], np.asarray(grid, np.float32).reshape(1, g1 * g1, d)],
+            axis=1)
+    return _convert(our_tree, _dinov2_hub_key, state)
+
+
+# ---- SD3 MM-DiT (diffusers SD3Transformer2DModel) ---------------------------
+
+def t_patch_conv_as_dense(w):
+    """PatchEmbed Conv2d (D, C, p, p) → our patch_in Dense ((p·p·C), D) with
+    (ph, pw, c) feature flattening order."""
+    w = np.asarray(w)
+    return np.transpose(w, (2, 3, 1, 0)).reshape(-1, w.shape[0])
+
+
+def t_swap_halves_lin(w):
+    """AdaLayerNormContinuous stores (scale ‖ shift); ours is (shift ‖ scale).
+    Swap the output halves, then torch-Linear → Flax kernel."""
+    w = np.asarray(w)
+    d = w.shape[0] // 2
+    return np.transpose(np.concatenate([w[d:], w[:d]], axis=0))
+
+
+def t_swap_halves_bias(w):
+    w = np.asarray(w)
+    d = w.shape[0] // 2
+    return np.concatenate([w[d:], w[:d]], axis=0)
+
+
+def _mmdit_key(path: tuple[str, ...], last_block: int):
+    """Our MMDiT param path → diffusers SD3Transformer2DModel key.
+
+    Chunk-order assumptions (documented for golden validation):
+    AdaLayerNormZero emits (shift_msa, scale_msa, gate_msa, shift_mlp,
+    scale_mlp, gate_mlp) — matches our 6-way split; AdaLayerNormContinuous
+    emits (scale, shift) — swapped into our shift-first layout.
+    """
+    import re
+    p = [q for q in path if q != "params"]
+    name, leaf = p[0], p[-1]
+    tf_lin = t_linear if leaf == "kernel" else t_id
+
+    if name == "pos_emb":
+        raise KeyError("pos_emb is handled by convert_mmdit (needs grid size)")
+    if name == "patch_in":
+        if leaf == "kernel":
+            return "pos_embed.proj.weight", t_patch_conv_as_dense
+        return "pos_embed.proj.bias", t_id
+    if name == "ctx_in":
+        return f"context_embedder.{'weight' if leaf == 'kernel' else 'bias'}", tf_lin
+    if name == "t_fc1":
+        return f"time_text_embed.timestep_embedder.linear_1.{'weight' if leaf == 'kernel' else 'bias'}", tf_lin
+    if name == "t_fc2":
+        return f"time_text_embed.timestep_embedder.linear_2.{'weight' if leaf == 'kernel' else 'bias'}", tf_lin
+    if name == "p_fc1":
+        return f"time_text_embed.text_embedder.linear_1.{'weight' if leaf == 'kernel' else 'bias'}", tf_lin
+    if name == "p_fc2":
+        return f"time_text_embed.text_embedder.linear_2.{'weight' if leaf == 'kernel' else 'bias'}", tf_lin
+    if name == "final_mod":
+        if leaf == "kernel":
+            return "norm_out.linear.weight", t_swap_halves_lin
+        return "norm_out.linear.bias", t_swap_halves_bias
+    if name == "patch_out":
+        return f"proj_out.{'weight' if leaf == 'kernel' else 'bias'}", tf_lin
+
+    m = re.match(r"block_(\d+)$", name)
+    if not m:
+        raise KeyError(f"unmapped MMDiT param {'/'.join(path)}")
+    i = int(m[1])
+    b = f"transformer_blocks.{i}"
+    sub = p[1]
+    suff = "weight" if leaf in ("kernel", "scale", "g") else "bias"
+
+    if sub == "img_mod":
+        return f"{b}.norm1.linear.{suff}", tf_lin
+    if sub == "txt_mod":
+        if i == last_block:   # AdaLayerNormContinuous: swap (scale‖shift)
+            if leaf == "kernel":
+                return f"{b}.norm1_context.linear.weight", t_swap_halves_lin
+            return f"{b}.norm1_context.linear.bias", t_swap_halves_bias
+        return f"{b}.norm1_context.linear.{suff}", tf_lin
+    table = {"img_q": "attn.to_q", "img_k": "attn.to_k", "img_v": "attn.to_v",
+             "txt_q": "attn.add_q_proj", "txt_k": "attn.add_k_proj",
+             "txt_v": "attn.add_v_proj",
+             "img_proj": "attn.to_out.0", "txt_proj": "attn.to_add_out",
+             "img_fc1": "ff.net.0.proj", "img_fc2": "ff.net.2",
+             "txt_fc1": "ff_context.net.0.proj", "txt_fc2": "ff_context.net.2",
+             "img_qn": "attn.norm_q", "img_kn": "attn.norm_k",
+             "txt_qn": "attn.norm_added_q", "txt_kn": "attn.norm_added_k"}
+    if sub in table:
+        if sub.endswith(("_qn", "_kn")):
+            return f"{b}.{table[sub]}.weight", t_id
+        return f"{b}.{table[sub]}.{suff}", tf_lin
+    raise KeyError(f"unmapped MMDiT param {'/'.join(path)}")
+
+
+def convert_mmdit(our_tree, state: Mapping[str, Any]):
+    """SD3Transformer2DModel → our MMDiT. Reshapes the stored positional
+    grid (1, max², D) into our (max, max, D) param."""
+    params = our_tree["params"] if "params" in our_tree else our_tree
+    last = max(int(k.split("_")[1]) for k in params if k.startswith("block_"))
+    mh = params["pos_emb"].shape[0]
+
+    def key_fn(path):
+        p = [q for q in path if q != "params"]
+        if p[0] == "pos_emb":
+            return "pos_embed.pos_embed", \
+                lambda w: np.asarray(w)[0].reshape(mh, mh, -1)
+        return _mmdit_key(path, last)
+
+    return _convert(our_tree, key_fn, state)
+
+
+# ---- Flux (diffusers FluxTransformer2DModel) --------------------------------
+
+def t_cat_linear(*ws):
+    """Concat torch Linears along out-features, then → Flax kernel."""
+    return np.transpose(np.concatenate([np.asarray(w) for w in ws], axis=0))
+
+
+def t_cat_bias(*ws):
+    return np.concatenate([np.asarray(w) for w in ws], axis=0)
+
+
+def _flux_key(path: tuple[str, ...]):
+    """Our Flux param path → diffusers FluxTransformer2DModel key(s).
+
+    Fused projections map to tuples: our per-stream `*_qkv` Dense =
+    concat(to_q,to_k,to_v); single-block `linear1` = concat(to_q,to_k,to_v,
+    proj_mlp), `linear2` = proj_out. norm_out is AdaLayerNormContinuous
+    (scale‖shift) → swapped into our shift-first final_mod.
+    """
+    import re
+    p = [q for q in path if q != "params"]
+    name, leaf = p[0], p[-1]
+    tf_lin = t_linear if leaf == "kernel" else t_id
+    w_or_b = "weight" if leaf == "kernel" else "bias"
+
+    top = {"img_in": "x_embedder", "txt_in": "context_embedder",
+           "t_fc1": "time_text_embed.timestep_embedder.linear_1",
+           "t_fc2": "time_text_embed.timestep_embedder.linear_2",
+           "g_fc1": "time_text_embed.guidance_embedder.linear_1",
+           "g_fc2": "time_text_embed.guidance_embedder.linear_2",
+           "p_fc1": "time_text_embed.text_embedder.linear_1",
+           "p_fc2": "time_text_embed.text_embedder.linear_2",
+           "final_out": "proj_out"}
+    if name in top:
+        return f"{top[name]}.{w_or_b}", tf_lin
+    if name == "final_mod":
+        if leaf == "kernel":
+            return "norm_out.linear.weight", t_swap_halves_lin
+        return "norm_out.linear.bias", t_swap_halves_bias
+
+    m = re.match(r"double_(\d+)$", name)
+    if m:
+        b = f"transformer_blocks.{m[1]}"
+        sub = p[1]
+        if sub == "img_mod":
+            return f"{b}.norm1.linear.{w_or_b}", tf_lin
+        if sub == "txt_mod":
+            return f"{b}.norm1_context.linear.{w_or_b}", tf_lin
+        if sub in ("img_qkv", "txt_qkv"):
+            pre = "" if sub == "img_qkv" else "add_"
+            post = "" if sub == "img_qkv" else "_proj"
+            keys = tuple(f"{b}.attn.{pre}{x}{post}.{w_or_b}"
+                         for x in ("to_q", "to_k", "to_v")) \
+                if sub == "img_qkv" else tuple(
+                    f"{b}.attn.add_{x}_proj.{w_or_b}" for x in ("q", "k", "v"))
+            return keys, (t_cat_linear if leaf == "kernel" else t_cat_bias)
+        table = {"img_o": "attn.to_out.0", "txt_o": "attn.to_add_out",
+                 "img_fc1": "ff.net.0.proj", "img_fc2": "ff.net.2",
+                 "txt_fc1": "ff_context.net.0.proj",
+                 "txt_fc2": "ff_context.net.2"}
+        if sub in table:
+            return f"{b}.{table[sub]}.{w_or_b}", tf_lin
+        norms = {"img_qn": "attn.norm_q", "img_kn": "attn.norm_k",
+                 "txt_qn": "attn.norm_added_q", "txt_kn": "attn.norm_added_k"}
+        if sub in norms:
+            return f"{b}.{norms[sub]}.weight", t_id
+        raise KeyError(f"unmapped Flux double param {'/'.join(path)}")
+
+    m = re.match(r"single_(\d+)$", name)
+    if m:
+        b = f"single_transformer_blocks.{m[1]}"
+        sub = p[1]
+        if sub == "mod":
+            return f"{b}.norm.linear.{w_or_b}", tf_lin
+        if sub == "linear1":
+            keys = (f"{b}.attn.to_q.{w_or_b}", f"{b}.attn.to_k.{w_or_b}",
+                    f"{b}.attn.to_v.{w_or_b}", f"{b}.proj_mlp.{w_or_b}")
+            return keys, (t_cat_linear if leaf == "kernel" else t_cat_bias)
+        if sub == "linear2":
+            return f"{b}.proj_out.{w_or_b}", tf_lin
+        if sub in ("qn", "kn"):
+            return f"{b}.attn.norm_{'q' if sub == 'qn' else 'k'}.weight", t_id
+        raise KeyError(f"unmapped Flux single param {'/'.join(path)}")
+    raise KeyError(f"unmapped Flux param {'/'.join(path)}")
+
+
+def convert_flux(our_tree, state: Mapping[str, Any]):
+    return _convert2(our_tree, _flux_key, state)
+
+
+# ---- IP-Adapter (h94/IP-Adapter .bin: image_proj + ip_adapter groups) ------
+
+def _flatten_groups(state: Mapping[str, Any]) -> dict[str, Any]:
+    """IP-Adapter bins nest {'image_proj': {...}, 'ip_adapter': {...}};
+    flatten to dotted keys (no-op for already-flat dicts)."""
+    out = {}
+    for k, v in state.items():
+        if isinstance(v, Mapping):
+            for k2, v2 in v.items():
+                out[f"{k}.{k2}"] = v2
+        else:
+            out[k] = v
+    return out
+
+
+def convert_image_projection(our_tree, state: Mapping[str, Any]):
+    """ImageProjProcessor of plain IP-Adapter(-XL): image_proj.{proj,norm}."""
+    st = _flatten_groups(state)
+
+    def key_fn(path):
+        p = [q for q in path if q != "params"]
+        name, leaf = p[0], p[-1]
+        suff = {"kernel": "weight", "scale": "weight", "bias": "bias"}[leaf]
+        if name == "proj":
+            return f"image_proj.proj.{suff}", \
+                (t_linear if leaf == "kernel" else t_id)
+        if name == "norm":
+            return f"image_proj.norm.{suff}", t_id
+        raise KeyError(f"unmapped ImageProjection param {'/'.join(path)}")
+    return _convert(our_tree, key_fn, st)
+
+
+def convert_ip_adapter_weights(our_tree, state: Mapping[str, Any],
+                               site_names: tuple[str, ...]):
+    """Per-site decoupled K/V. The checkpoint's `ip_adapter` group is keyed
+    by the diffusers attn-processor ModuleList index (self-attns hold no
+    params → cross sites land at odd indices 1,3,5,… in enumeration order
+    down→mid→up, which `cross_attn_sites` reproduces)."""
+    st = _flatten_groups(state)
+    order = {name.replace(".", "__"): i for i, name in enumerate(site_names)}
+
+    def key_fn(path):
+        p = [q for q in path if q != "params"]
+        name = p[0]                      # e.g. "down_1__tf_0__tb0__cross_k"
+        safe, kv = name.rsplit("_", 1)
+        idx = 2 * order[safe] + 1
+        return f"ip_adapter.{idx}.to_{kv}_ip.weight", t_linear
+    return _convert(our_tree, key_fn, st)
+
+
+def convert_resampler(our_tree, state: Mapping[str, Any]):
+    """IP-Adapter-Plus perceiver (reference resampler.py naming):
+    layers.{i}.0 = PerceiverAttention(norm1,norm2,to_q,to_kv,to_out),
+    layers.{i}.1 = FF Sequential(LayerNorm, Linear, GELU, Linear)."""
+    st = _flatten_groups(state)
+
+    def key_fn(path):
+        import re
+        p = [q for q in path if q != "params"]
+        name, leaf = p[0], p[-1]
+        if name == "latents":
+            return "image_proj.latents", lambda w: np.asarray(w)[0]
+        suff = {"kernel": "weight", "scale": "weight", "bias": "bias"}[leaf]
+        tf_lin = t_linear if leaf == "kernel" else t_id
+        top = {"in_proj": "proj_in", "out_proj": "proj_out",
+               "out_norm": "norm_out"}
+        if name in top:
+            tf = t_id if name == "out_norm" else tf_lin
+            return f"image_proj.{top[name]}.{suff}", tf
+        m = re.match(r"(norm1|norm2|q|kv|o|ffln|ff1|ff2)_(\d+)$", name)
+        if not m:
+            raise KeyError(f"unmapped Resampler param {'/'.join(path)}")
+        kind, i = m[1], m[2]
+        base = f"image_proj.layers.{i}"
+        table = {"norm1": (f"{base}.0.norm1.{suff}", t_id),
+                 "norm2": (f"{base}.0.norm2.{suff}", t_id),
+                 "q": (f"{base}.0.to_q.{suff}", tf_lin),
+                 "kv": (f"{base}.0.to_kv.{suff}", tf_lin),
+                 "o": (f"{base}.0.to_out.{suff}", tf_lin),
+                 "ffln": (f"{base}.1.0.{suff}", t_id),
+                 "ff1": (f"{base}.1.1.{suff}", tf_lin),
+                 "ff2": (f"{base}.1.3.{suff}", tf_lin)}
+        return table[kind]
+    return _convert(our_tree, key_fn, st)

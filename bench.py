@@ -86,14 +86,21 @@ def main():
             lat = step(unet_params, lat, img_lat, jnp.asarray(i))
         return decode(vae_params, lat)
 
-    out = edit_batch(key)  # compile all three programs
-    jax.block_until_ready(out)
+    import numpy as _np
+
+    def sync(x):
+        # On tunneled backends `block_until_ready` can return before remote
+        # execution finishes; a host readback of one element is the only
+        # airtight fence (the value depends on the full 50-step chain).
+        return float(_np.asarray(jax.device_get(x[0, 0, 0, 0])))
+
+    sync(edit_batch(key))  # compile all three programs
 
     best = float("inf")
     for i in range(3):
         t0 = time.perf_counter()
         out = edit_batch(jax.random.fold_in(key, i))
-        jax.block_until_ready(out)
+        sync(out)
         best = min(best, time.perf_counter() - t0)
 
     pairs_per_hour = 3600.0 / best * n
