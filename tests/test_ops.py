@@ -115,3 +115,38 @@ def test_resize_and_norm_roundtrip():
     x = normalize_to_unit(img)
     back = denormalize_to_u8(x)
     assert int(jnp.max(jnp.abs(back.astype(jnp.int32) - img.astype(jnp.int32)))) <= 1
+
+
+def test_flash_nomax_matches_xla():
+    """Max-free kernel (interpret mode) ≡ reference softmax attention."""
+    import math
+    from anyedit_tpu.ops.attention import flash_nomax, sdpa_xla
+    k1, k2, k3 = jax.random.split(jax.random.key(7), 3)
+    b, h, l, d = 2, 2, 1024, 40
+    q = jax.random.normal(k1, (b, h, l, d), jnp.bfloat16)
+    k = jax.random.normal(k2, (b, h, l, d), jnp.bfloat16)
+    v = jax.random.normal(k3, (b, h, l, d), jnp.bfloat16)
+    scale = 1.0 / math.sqrt(d)
+    pad = ((0, 0), (0, 0), (0, 128 - d))
+    qf = jnp.pad(q.reshape(b * h, l, d), pad)
+    kf = jnp.pad(k.reshape(b * h, l, d), pad)
+    vf = jnp.pad(v.reshape(b * h, l, d), pad)
+    out = flash_nomax(qf, kf, vf, scale=scale, interpret=True)
+    out = out[..., :d].reshape(b, h, l, d)
+    ref = sdpa_xla(q, k, v, scale=scale)
+    err = jnp.mean(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)))
+    assert float(err) < 2e-3, float(err)
+
+
+def test_flash_nomax_clamp_saturates_not_overflows():
+    """Logits beyond the clamp saturate to a uniform softmax over the
+    saturated entries — finite output, no inf/nan."""
+    from anyedit_tpu.ops.attention import flash_nomax
+    b, l, d = 1, 512, 128
+    q = jnp.full((b, l, d), 30.0, jnp.bfloat16)   # huge logits ~ 30*30*128
+    k = jnp.full((b, l, d), 30.0, jnp.bfloat16)
+    v = jnp.ones((b, l, d), jnp.bfloat16)
+    out = flash_nomax(q, k, v, scale=1.0, interpret=True)
+    assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
+    # uniform over equal logits → output == v
+    assert float(jnp.max(jnp.abs(out.astype(jnp.float32) - 1.0))) < 1e-2
