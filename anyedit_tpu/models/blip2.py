@@ -42,6 +42,12 @@ TINY_QFORMER = QFormerConfig(num_queries=4, dim=32, layers=2, heads=2,
 
 
 class QFormerBlock(nn.Module):
+    """POST-norm BERT layer, exactly the HF Blip2QFormerLayer shape:
+    residual → output dense → LayerNorm; cross-attention K/V project the
+    RAW image width (1408); query-path FFN (intermediate_query /
+    output_query). This 1:1 structure is what lets real blip2 checkpoints
+    convert (weights/convert.py::convert_blip2)."""
+
     cfg: QFormerConfig
     with_cross: bool
 
@@ -52,30 +58,38 @@ class QFormerBlock(nn.Module):
         b, l = q_tokens.shape[0], q_tokens.shape[1]
         sp = lambda t, ln: t.reshape(b, ln, c.heads, hd).transpose(0, 2, 1, 3)
 
-        h = LayerNorm(dtype=c.dtype, name="ln_sa")(q_tokens)
-        sa = sdpa_xla(sp(nn.Dense(c.dim, dtype=c.dtype, name="sq")(h), l),
-                      sp(nn.Dense(c.dim, dtype=c.dtype, name="sk")(h), l),
-                      sp(nn.Dense(c.dim, dtype=c.dtype, name="sv")(h), l))
-        q_tokens = q_tokens + nn.Dense(c.dim, dtype=c.dtype, name="so")(
+        sa = sdpa_xla(
+            sp(nn.Dense(c.dim, dtype=c.dtype, name="sq")(q_tokens), l),
+            sp(nn.Dense(c.dim, dtype=c.dtype, name="sk")(q_tokens), l),
+            sp(nn.Dense(c.dim, dtype=c.dtype, name="sv")(q_tokens), l))
+        sa = nn.Dense(c.dim, dtype=c.dtype, name="so")(
             sa.transpose(0, 2, 1, 3).reshape(b, l, c.dim))
+        q_tokens = LayerNorm(dtype=c.dtype, name="ln_sa")(q_tokens + sa)
 
         if self.with_cross:
-            h = LayerNorm(dtype=c.dtype, name="ln_ca")(q_tokens)
             li = image_tokens.shape[1]
             img = image_tokens.astype(c.dtype)
-            ca = sdpa_xla(sp(nn.Dense(c.dim, dtype=c.dtype, name="cq")(h), l),
-                          sp(nn.Dense(c.dim, dtype=c.dtype, name="ck")(img), li),
-                          sp(nn.Dense(c.dim, dtype=c.dtype, name="cv")(img), li))
-            q_tokens = q_tokens + nn.Dense(c.dim, dtype=c.dtype, name="co")(
+            ca = sdpa_xla(
+                sp(nn.Dense(c.dim, dtype=c.dtype, name="cq")(q_tokens), l),
+                sp(nn.Dense(c.dim, dtype=c.dtype, name="ck")(img), li),
+                sp(nn.Dense(c.dim, dtype=c.dtype, name="cv")(img), li))
+            ca = nn.Dense(c.dim, dtype=c.dtype, name="co")(
                 ca.transpose(0, 2, 1, 3).reshape(b, l, c.dim))
+            q_tokens = LayerNorm(dtype=c.dtype, name="ln_ca")(q_tokens + ca)
 
-        h = LayerNorm(dtype=c.dtype, name="ln_ff")(q_tokens)
-        h = nn.Dense(4 * c.dim, dtype=c.dtype, name="fc1")(h)
-        return q_tokens + nn.Dense(c.dim, dtype=c.dtype, name="fc2")(nn.gelu(h))
+        h = nn.Dense(4 * c.dim, dtype=c.dtype, name="fc1")(q_tokens)
+        h = nn.Dense(c.dim, dtype=c.dtype, name="fc2")(
+            nn.gelu(h, approximate=False))
+        return LayerNorm(dtype=c.dtype, name="ln_ff")(q_tokens + h)
 
 
 class QFormer(nn.Module):
-    """image patch features (B, N, Di) → query embeddings (B, Q, lm_dim)."""
+    """image patch features (B, N, Di) → query embeddings (B, Q, lm_dim).
+
+    Mirrors HF Blip2QFormerModel + query_tokens + language_projection:
+    learned queries pass an input LayerNorm (qformer.layernorm), then
+    post-norm blocks cross-attending the raw 1408-wide image tokens every
+    `cross_every` layers."""
 
     cfg: QFormerConfig = BLIP2_QFORMER
 
@@ -83,16 +97,14 @@ class QFormer(nn.Module):
     def __call__(self, image_tokens):
         c = self.cfg
         b = image_tokens.shape[0]
-        img = nn.Dense(c.dim, dtype=c.dtype, name="img_proj")(
-            image_tokens.astype(c.dtype))
         queries = self.param("queries", nn.initializers.normal(0.02),
                              (c.num_queries, c.dim), jnp.float32)
         x = jnp.broadcast_to(queries[None].astype(c.dtype),
                              (b, c.num_queries, c.dim))
+        x = LayerNorm(dtype=c.dtype, name="ln_in")(x)
         for i in range(c.layers):
             x = QFormerBlock(c, with_cross=(i % c.cross_every == 0),
-                             name=f"block_{i}")(x, img)
-        x = LayerNorm(dtype=c.dtype, name="ln_out")(x)
+                             name=f"block_{i}")(x, image_tokens)
         return nn.Dense(c.lm.dim, dtype=jnp.float32, name="lm_proj")(
             x.astype(jnp.float32))
 

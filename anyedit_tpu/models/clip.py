@@ -48,6 +48,13 @@ class CLIPVisionConfig:
     heads: int = 16
     proj_dim: int = 768
     mlp_dim: int = 0          # 0 → 4·hidden; EVA-g uses 6144 (ratio 4.3637)
+    # CLIP towers have a pre-LN after the embeddings and a projection head;
+    # the BLIP-2 EVA tower (Blip2VisionModel) has neither — instead its
+    # post_layernorm applies to the WHOLE token sequence, and the patch
+    # conv carries a bias.
+    pre_ln: bool = True
+    use_proj: bool = True
+    patch_bias: bool = False
     dtype: Any = jnp.bfloat16
     activation: str = "quick_gelu"
 
@@ -62,7 +69,8 @@ CLIP_B32_VISION = CLIPVisionConfig(patch=32, hidden=768, layers=12, heads=12,
 # MLP (EVA's 4.3637 ratio), 39 post-embed layers.
 EVA_VIT_G = CLIPVisionConfig(image_size=224, patch=14, hidden=1408,
                              layers=39, heads=16, proj_dim=1024,
-                             mlp_dim=6144, activation="gelu")
+                             mlp_dim=6144, activation="gelu",
+                             pre_ln=False, use_proj=False, patch_bias=True)
 TINY_VISION = CLIPVisionConfig(image_size=32, patch=8, hidden=32, layers=2,
                                heads=2, proj_dim=16)
 
@@ -156,7 +164,7 @@ class CLIPVisionEncoder(nn.Module):
         c = self.cfg
         b = pixels.shape[0]
         x = nn.Conv(c.hidden, (c.patch, c.patch), strides=(c.patch, c.patch),
-                    use_bias=False, dtype=c.dtype, name="patch_emb")(
+                    use_bias=c.patch_bias, dtype=c.dtype, name="patch_emb")(
             pixels.astype(c.dtype))
         n = (c.image_size // c.patch) ** 2
         x = x.reshape(b, n, c.hidden)
@@ -165,11 +173,20 @@ class CLIPVisionEncoder(nn.Module):
         pos = self.param("pos_emb", nn.initializers.normal(0.01),
                          (n + 1, c.hidden), jnp.float32)
         x = x + pos[None].astype(c.dtype)
-        x = LayerNorm(dtype=c.dtype, name="pre_ln")(x)
+        if c.pre_ln:
+            x = LayerNorm(dtype=c.dtype, name="pre_ln")(x)
         for i in range(c.layers):
             x = CLIPBlock(c.hidden, c.heads, c.dtype, c.activation,
                           f"vis.{i}", mlp_dim=c.mlp_dim, name=f"block_{i}")(x)
-        pooled = LayerNorm(dtype=c.dtype, name="post_ln")(x[:, 0])
+        if not c.pre_ln:
+            # BLIP-2/EVA: post_layernorm over the whole sequence — these
+            # tokens (not the raw encoder output) feed the Q-Former
+            x = LayerNorm(dtype=c.dtype, name="post_ln")(x)
+            pooled = x[:, 0]
+        else:
+            pooled = LayerNorm(dtype=c.dtype, name="post_ln")(x[:, 0])
+        if not c.use_proj:
+            return x.astype(jnp.float32), pooled.astype(jnp.float32)
         z = nn.Dense(c.proj_dim, use_bias=False, dtype=jnp.float32,
                      name="visual_proj")(pooled.astype(jnp.float32))
         z = z / jnp.linalg.norm(z, axis=-1, keepdims=True)

@@ -1364,15 +1364,22 @@ class ModelZoo:
             params = load_params(vqa, (it, qi, qm), self._wf("blip2"), self.seed)
             fn = jax.jit(lambda it, qi, qm: vqa.apply(params, it, qi, qm))
             vocab = c.qformer.lm.vocab_size
-            yes_id = int(self._ids("yes", 3, vocab)[0, 1])   # [0,0] is CLS
-            no_id = int(self._ids("no", 3, vocab)[0, 1])
+            # first-token ids of "yes"/"no": real SentencePiece pieces when
+            # spiece.model ships with the weights, hash fallback otherwise
+            self._t5_ids("", 1)        # force tokenizer detection
+            if self._spiece is not None:
+                yes_id = int(self._t5_ids("yes", 3)[0, 0])
+                no_id = int(self._t5_ids("no", 3)[0, 0])
+            else:
+                yes_id = int(self._ids("yes", 3, vocab)[0, 1])  # [0,0] is CLS
+                no_id = int(self._ids("no", 3, vocab)[0, 1])
 
             def ask(image_u8, question: str) -> bool:
                 px = resize_image(jnp.asarray(image_u8, jnp.float32) / 255.0,
                                   c.eva.image_size, c.eva.image_size,
                                   "bilinear")
                 toks, _ = vfn(imagenet_normalize(px)[None])
-                ids = self._ids(question, ml, vocab)
+                ids = self._t5_ids(question, ml) % vocab
                 mask = ids != 0
                 logits = fn(toks.astype(jnp.float32), jnp.asarray(ids),
                             jnp.asarray(mask))

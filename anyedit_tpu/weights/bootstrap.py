@@ -279,6 +279,28 @@ def _ip_adapter(src):
     return C.convert_ip_adapter_weights(tree, src, names)
 
 
+def _eva_vit(src):
+    """BLIP-2's frozen EVA ViT-g tower (vision_model.* of the blip2 ckpt)."""
+    from anyedit_tpu.models.clip import CLIPVisionEncoder, EVA_VIT_G
+    m = CLIPVisionEncoder(EVA_VIT_G)
+    s = EVA_VIT_G.image_size
+    tree = _abstract(m, jnp.zeros((1, s, s, 3), jnp.float32))
+    return C.convert_eva_vit(tree, src)
+
+
+def _blip2(src):
+    """Q-Former + flan-T5 LM out of Blip2ForConditionalGeneration."""
+    from anyedit_tpu.models.blip2 import Blip2VQA, BLIP2_QFORMER
+    c = BLIP2_QFORMER
+    m = Blip2VQA(c)
+    n_tok = (224 // 14) ** 2 + 1
+    it = jnp.zeros((1, n_tok, c.image_dim), jnp.float32)
+    qi = jnp.zeros((1, 32), jnp.int32)
+    qm = jnp.ones((1, 32), bool)
+    tree = _abstract(m, it, qi, qm)
+    return C.convert_blip2(tree, src)
+
+
 def _aesthetic(src):
     from anyedit_tpu.filters.scorers import AestheticMLP
     m = AestheticMLP()
@@ -320,6 +342,9 @@ REGISTRY: dict[str, tuple[str, Callable]] = {
     "flux": ("black-forest-labs/FLUX.1-schnell transformer", _flux),
     "ip_proj": ("h94/IP-Adapter sdxl .bin (image_proj group)", _ip_proj),
     "ip_adapter": ("h94/IP-Adapter sdxl .bin (ip_adapter group)", _ip_adapter),
+    "eva_vit": ("Salesforce/blip2-flan-t5-xl (vision_model.*)", _eva_vit),
+    "blip2": ("Salesforce/blip2-flan-t5-xl (qformer + language_model)",
+              _blip2),
 }
 
 

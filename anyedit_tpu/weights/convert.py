@@ -1637,3 +1637,144 @@ def convert_resampler(our_tree, state: Mapping[str, Any]):
                  "ff2": (f"{base}.1.3.{suff}", tf_lin)}
         return table[kind]
     return _convert(our_tree, key_fn, st)
+
+
+# ---- T5 decoder + BLIP-2 (HF Blip2ForConditionalGeneration) ----------------
+
+def _t5_dec_key(path: tuple[str, ...]) -> tuple[str, Callable]:
+    """Our T5Decoder param path → HF t5 decoder key."""
+    import re
+    p = [q for q in path if q != "params"]
+    name = p[0]
+    lin = lambda k: (k + ".weight", t_linear)
+    if name == "emb":
+        return "shared.weight", t_id
+    if name == "lm_head":
+        return "lm_head.weight", t_linear
+    if name == "ln_final":
+        return "decoder.final_layer_norm.weight", t_id
+    m = re.match(r"(ln_a|ln_x|ln_f|self|cross|ffn)_(\d+)$", name)
+    if m:
+        kind, i = m[1], m[2]
+        blk = f"decoder.block.{i}.layer"
+        if kind == "ln_a":
+            return f"{blk}.0.layer_norm.weight", t_id
+        if kind == "ln_x":
+            return f"{blk}.1.layer_norm.weight", t_id
+        if kind == "ln_f":
+            return f"{blk}.2.layer_norm.weight", t_id
+        if kind == "self":
+            sub = p[1]
+            if sub == "rel_bias":
+                return (f"{blk}.0.SelfAttention.relative_attention_bias.weight",
+                        t_id)
+            return lin(f"{blk}.0.SelfAttention.{sub}")
+        if kind == "cross":
+            return lin(f"{blk}.1.EncDecAttention.{p[1]}")
+        if kind == "ffn":
+            mm = {"wi0": "wi_0", "wi1": "wi_1", "wo": "wo"}
+            return lin(f"{blk}.2.DenseReluDense.{mm[p[1]]}")
+    raise KeyError(f"unmapped T5-decoder param {'/'.join(path)}")
+
+
+def convert_t5_decoder(our_tree, hf_state: Mapping[str, Any]):
+    return _convert(our_tree, _t5_dec_key, hf_state)
+
+
+def _eva_key(path: tuple[str, ...]) -> tuple[str, Callable]:
+    """Our CLIPVisionEncoder (pre_ln=False EVA variant) → HF
+    Blip2VisionModel keys (vision_model.*): fused self_attn.qkv split into
+    to_q/to_k/to_v (k-bias is stored as zeros in the fused bias)."""
+    import re
+    p = [q for q in path if q != "params"]
+    name, leaf = p[0], p[-1]
+    suff = {"kernel": "weight", "scale": "weight", "bias": "bias"}.get(leaf)
+    pre = "vision_model"
+    if name == "cls":
+        return f"{pre}.embeddings.class_embedding", \
+            lambda w: np.asarray(w).reshape(-1)
+    if name == "pos_emb":
+        return f"{pre}.embeddings.position_embedding", \
+            lambda w: np.asarray(w)[0]
+    if name == "patch_emb":
+        return f"{pre}.embeddings.patch_embedding.{suff}", \
+            (t_conv if leaf == "kernel" else t_id)
+    if name == "post_ln":
+        return f"{pre}.post_layernorm.{suff}", t_id
+    m = re.match(r"block_(\d+)$", name)
+    if m:
+        b = f"{pre}.encoder.layers.{m[1]}"
+        sub = p[1]
+        if sub in ("ln1", "ln2"):
+            return f"{b}.layer_norm{sub[-1]}.{suff}", t_id
+        if sub == "attn":
+            s2 = p[2]
+            if s2 == "to_out":
+                return f"{b}.self_attn.projection.{suff}", \
+                    (t_linear if leaf == "kernel" else t_id)
+            idx = {"to_q": 0, "to_k": 1, "to_v": 2}[s2]
+            return f"{b}.self_attn.qkv.{suff}", _split3(idx, leaf)
+        if sub in ("fc1", "fc2"):
+            return f"{b}.mlp.{sub}.{suff}", \
+                (t_linear if leaf == "kernel" else t_id)
+    raise KeyError(f"unmapped EVA param {'/'.join(path)}")
+
+
+def convert_eva_vit(our_tree, state: Mapping[str, Any]):
+    return _convert(our_tree, _eva_key, state)
+
+
+def _qformer_key(path: tuple[str, ...]) -> tuple[str, Callable]:
+    """Our QFormer param path → HF blip2 qformer keys."""
+    import re
+    p = [q for q in path if q != "params"]
+    name, leaf = p[0], p[-1]
+    suff = {"kernel": "weight", "scale": "weight", "bias": "bias"}.get(leaf)
+    tf_lin = t_linear if leaf == "kernel" else t_id
+    if name == "queries":
+        return "query_tokens", lambda w: np.asarray(w)[0]
+    if name == "ln_in":
+        return f"qformer.layernorm.{suff}", t_id
+    if name == "lm_proj":
+        return f"language_projection.{suff}", tf_lin
+    m = re.match(r"block_(\d+)$", name)
+    if m:
+        b = f"qformer.encoder.layer.{m[1]}"
+        table = {
+            "sq": (f"{b}.attention.attention.query.{suff}", tf_lin),
+            "sk": (f"{b}.attention.attention.key.{suff}", tf_lin),
+            "sv": (f"{b}.attention.attention.value.{suff}", tf_lin),
+            "so": (f"{b}.attention.output.dense.{suff}", tf_lin),
+            "ln_sa": (f"{b}.attention.output.LayerNorm.{suff}", t_id),
+            "cq": (f"{b}.crossattention.attention.query.{suff}", tf_lin),
+            "ck": (f"{b}.crossattention.attention.key.{suff}", tf_lin),
+            "cv": (f"{b}.crossattention.attention.value.{suff}", tf_lin),
+            "co": (f"{b}.crossattention.output.dense.{suff}", tf_lin),
+            "ln_ca": (f"{b}.crossattention.output.LayerNorm.{suff}", t_id),
+            "fc1": (f"{b}.intermediate_query.dense.{suff}", tf_lin),
+            "fc2": (f"{b}.output_query.dense.{suff}", tf_lin),
+            "ln_ff": (f"{b}.output_query.LayerNorm.{suff}", t_id),
+        }
+        return table[p[1]]
+    raise KeyError(f"unmapped QFormer param {'/'.join(path)}")
+
+
+def convert_blip2(our_tree, state: Mapping[str, Any]):
+    """Full Blip2VQA tree (qformer ⊕ T5 encoder ⊕ T5 decoder) from one
+    Blip2ForConditionalGeneration state dict. The language model lives
+    under `language_model.*`."""
+    params = our_tree["params"] if "params" in our_tree else our_tree
+
+    def key_fn(path):
+        p = [q for q in path if q != "params"]
+        if p[0] == "qformer":
+            return _qformer_key(tuple(p[1:]))
+        if p[0] == "encoder":
+            k, tf = _t5_key(tuple(p[1:]))
+            return f"language_model.{k}", tf
+        if p[0] == "decoder":
+            k, tf = _t5_dec_key(tuple(p[1:]))
+            return f"language_model.{k}", tf
+        raise KeyError(f"unmapped Blip2VQA param {'/'.join(p)}")
+
+    return _convert(our_tree, key_fn, state)
