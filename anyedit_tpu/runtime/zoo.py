@@ -1166,9 +1166,19 @@ class ModelZoo:
             clip_g = self._text_raw("clip_text_g", c.text_g)
 
             def _cond(text: str):
-                ctx = t5(text)
-                _, pl = clip_l(text)
-                _, pg = clip_g(text)
+                """SD3 conditioning, diffusers pipeline_stable_diffusion_3
+                layout: ctx = [CLIP-L⊕CLIP-bigG hidden, zero-padded on
+                channels to the T5 width] ⊕_seq T5 hidden; pooled =
+                pooled_l ⊕ pooled_g."""
+                t5_ctx = t5(text)
+                hl, pl = clip_l(text)
+                hg, pg = clip_g(text)
+                clip_ctx = jnp.concatenate([hl, hg], axis=-1)
+                pad = c.mmdit.context_dim - clip_ctx.shape[-1]
+                if pad > 0:
+                    clip_ctx = jnp.pad(clip_ctx, ((0, 0), (0, 0), (0, pad)))
+                ctx = jnp.concatenate(
+                    [clip_ctx[:, :, :c.mmdit.context_dim], t5_ctx], axis=1)
                 pooled = jnp.concatenate([pl, pg], axis=-1)
                 if pooled.shape[-1] != c.mmdit.pooled_dim:
                     pooled = jnp.pad(pooled,

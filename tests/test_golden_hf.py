@@ -189,3 +189,86 @@ def test_dinov2_matches_hf():
         want = hf(torch.from_numpy(px.transpose(0, 3, 1, 2))).last_hidden_state.numpy()
     np.testing.assert_allclose(np.asarray(out["cls"]), want[:, 0], atol=1e-4)
     np.testing.assert_allclose(np.asarray(out["patch"]), want[:, 1:], atol=1e-4)
+
+
+def test_t5_decoder_matches_hf():
+    """Full T5 v1.1 enc→dec stack vs HF T5ForConditionalGeneration:
+    validates decoder causal relative-position bias, cross-attention,
+    untied lm_head (the BLIP-2 flan-T5 answer scorer path)."""
+    from transformers import T5Config as HFT5Cfg, T5ForConditionalGeneration
+    from anyedit_tpu.models.t5 import T5Config, T5Encoder, T5Decoder
+    from anyedit_tpu.weights.convert import convert_t5_encoder, convert_t5_decoder
+
+    hf_cfg = HFT5Cfg(vocab_size=64, d_model=32, d_kv=8, d_ff=64,
+                     num_layers=2, num_decoder_layers=2, num_heads=4,
+                     relative_attention_num_buckets=32,
+                     relative_attention_max_distance=128,
+                     feed_forward_proj="gated-gelu", dropout_rate=0.0,
+                     tie_word_embeddings=False, use_cache=False)
+    torch.manual_seed(8)
+    hf = T5ForConditionalGeneration(hf_cfg).eval()
+
+    cfg = T5Config(vocab_size=64, dim=32, kv_dim=8, heads=4, ffn_dim=64,
+                   enc_layers=2, dec_layers=2, dtype=jnp.float32)
+    enc, dec = T5Encoder(cfg), T5Decoder(cfg)
+    enc_ids = np.array([[5, 9, 33, 1]], np.int64)
+    dec_ids = np.array([[0, 12, 60]], np.int64)
+    st = _np_state(hf)
+    enc_tree = enc.init(jax.random.key(0), jnp.asarray(enc_ids, jnp.int32))
+    enc_tree = {"params": convert_t5_encoder(enc_tree["params"], st)}
+    enc_out = enc.apply(enc_tree, jnp.asarray(enc_ids, jnp.int32))
+    dec_tree = dec.init(jax.random.key(1), jnp.asarray(dec_ids, jnp.int32),
+                        enc_out)
+    dec_tree = {"params": convert_t5_decoder(dec_tree["params"], st)}
+    got = np.asarray(dec.apply(dec_tree, jnp.asarray(dec_ids, jnp.int32),
+                               enc_out))
+    with torch.no_grad():
+        want = hf(input_ids=torch.from_numpy(enc_ids),
+                  decoder_input_ids=torch.from_numpy(dec_ids)).logits.numpy()
+    np.testing.assert_allclose(got, want, atol=3e-4)
+
+
+def test_qformer_matches_hf():
+    """Post-norm Q-Former vs HF Blip2QFormerModel: query self-attention,
+    periodic cross-attention to image tokens, the query-path MLP
+    (intermediate_query/output_query), input layernorm, and the
+    language_projection head."""
+    from transformers import Blip2QFormerConfig, Blip2QFormerModel
+    from anyedit_tpu.models.blip2 import QFormer, QFormerConfig
+    from anyedit_tpu.models.t5 import T5Config
+    from anyedit_tpu.weights.convert import _convert, _qformer_key
+
+    hf_cfg = Blip2QFormerConfig(vocab_size=4, hidden_size=32,
+                                num_hidden_layers=2, num_attention_heads=2,
+                                intermediate_size=128,
+                                cross_attention_frequency=2,
+                                encoder_hidden_size=16,
+                                attention_probs_dropout_prob=0.0,
+                                hidden_dropout_prob=0.0)
+    torch.manual_seed(9)
+    hf = Blip2QFormerModel(hf_cfg).eval()
+
+    lm_dim = 24
+    cfg = QFormerConfig(num_queries=4, dim=32, layers=2, heads=2,
+                        cross_every=2, image_dim=16,
+                        lm=T5Config(dim=lm_dim), dtype=jnp.float32)
+    ours = QFormer(cfg)
+    img = np.random.default_rng(10).standard_normal((1, 5, 16)).astype(np.float32)
+    tree = ours.init(jax.random.key(0), jnp.asarray(img))
+
+    qt = torch.randn(1, 4, 32)
+    proj = torch.nn.Linear(32, lm_dim)
+    st = {f"qformer.{k}": v.detach().numpy()
+          for k, v in hf.state_dict().items()}
+    st["query_tokens"] = qt.numpy()
+    st["language_projection.weight"] = proj.weight.detach().numpy()
+    st["language_projection.bias"] = proj.bias.detach().numpy()
+    # HF keeps the input layernorm inside Blip2QFormerModel
+    tree = {"params": _convert(tree["params"], _qformer_key, st)}
+    got = np.asarray(ours.apply(tree, jnp.asarray(img)))
+    with torch.no_grad():
+        hidden = hf(query_embeds=qt,
+                    encoder_hidden_states=torch.from_numpy(img)
+                    ).last_hidden_state
+        want = proj(hidden).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-4)
