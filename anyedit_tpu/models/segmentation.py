@@ -24,7 +24,7 @@ from anyedit_tpu.models.swin import SwinTransformer, SwinConfig, SWIN_T, TINY_SW
 class SegConfig:
     backbone: SwinConfig = dataclasses.replace(SWIN_T, out_indices=(0, 1, 2, 3))
     num_classes: int = 150          # ADE20K
-    feat_dim: int = 256
+    feat_dim: int = 512             # openmmlab upernet-swin decode channels
     pool_scales: tuple[int, ...] = (1, 2, 3, 6)
     dtype: Any = jnp.bfloat16
 
@@ -36,37 +36,61 @@ TINY_SEG = SegConfig(backbone=dataclasses.replace(TINY_SWIN,
 
 
 def _resize(x, hw):
+    """mmseg `resize(..., mode='bilinear', align_corners=False)`."""
     return jax.image.resize(x, (x.shape[0], hw[0], hw[1], x.shape[-1]),
                             "bilinear")
 
 
+def adaptive_avg_pool(x: jnp.ndarray, s: int) -> jnp.ndarray:
+    """torch AdaptiveAvgPool2d(s) on NHWC: output cell (i,j) averages input
+    rows [floor(i·h/s), ceil((i+1)·h/s)) — exact for any h, not just h % s
+    == 0 (pool_scales (1,2,3,6) over 16×16 ADE features hit the ragged
+    case). Boundaries are static under jit."""
+    b, h, w, ch = x.shape
+    rows = [x[:, (i * h) // s:-((-(i + 1) * h) // s)].mean(axis=1)
+            for i in range(s)]
+    x = jnp.stack(rows, axis=1)                        # (B, s, W, C)
+    cols = [x[:, :, (j * w) // s:-((-(j + 1) * w) // s)].mean(axis=2)
+            for j in range(s)]
+    return jnp.stack(cols, axis=2)                     # (B, s, s, C)
+
+
 class UperNetHead(nn.Module):
+    """Exact mmseg/HF UPerHead structure (BatchNorms folded into the convs
+    at conversion time — inference-only): PSP over the coarsest map with
+    adaptive average pooling and the raw map in the concat, 1×1+ReLU
+    laterals, top-down sum, 3×3+ReLU FPN convs on all but the PSP level,
+    fuse bottleneck, 1×1 classifier. Matches
+    transformers UperNetHead / mmseg decode_heads/uper_head.py."""
+
     cfg: SegConfig
 
     @nn.compact
     def __call__(self, feats: list[jnp.ndarray], out_hw):
         c = self.cfg
         d = c.feat_dim
-        # PPM on the coarsest map
+        # PSP on the coarsest map: [raw] + pooled ConvModule branches
         top = feats[-1]
         b, h, w, _ = top.shape
-        ppm = [nn.Conv(d, (1, 1), dtype=c.dtype, name="ppm_in")(top)]
+        psp = [top]
         for i, s in enumerate(c.pool_scales):
-            pooled = jax.image.resize(top, (b, s, s, top.shape[-1]), "linear")
-            pooled = nn.Conv(d, (1, 1), dtype=c.dtype, name=f"ppm_{i}")(pooled)
-            ppm.append(_resize(nn.relu(pooled), (h, w)))
-        x = nn.Conv(d, (3, 3), padding="SAME", dtype=c.dtype, name="ppm_out")(
-            jnp.concatenate(ppm, axis=-1))
-        # FPN top-down
+            pooled = adaptive_avg_pool(top, s)
+            pooled = nn.relu(nn.Conv(d, (1, 1), dtype=c.dtype,
+                                     name=f"ppm_{i}")(pooled))
+            psp.append(_resize(pooled, (h, w)))
+        x = nn.relu(nn.Conv(d, (3, 3), padding="SAME", dtype=c.dtype,
+                            name="ppm_out")(jnp.concatenate(psp, axis=-1)))
+        # FPN: 1x1 laterals on the finer maps, PSP output as the top level
         laterals = [nn.relu(nn.Conv(d, (1, 1), dtype=c.dtype,
                                     name=f"lat_{i}")(f))
                     for i, f in enumerate(feats[:-1])] + [x]
         for i in reversed(range(len(laterals) - 1)):
             laterals[i] = laterals[i] + _resize(laterals[i + 1],
                                                 laterals[i].shape[1:3])
+        # 3x3 fpn convs on all but the PSP level (uper_head.py fpn_outs)
         outs = [nn.relu(nn.Conv(d, (3, 3), padding="SAME", dtype=c.dtype,
                                 name=f"fpn_{i}")(l))
-                for i, l in enumerate(laterals)]
+                for i, l in enumerate(laterals[:-1])] + [laterals[-1]]
         size0 = outs[0].shape[1:3]
         fused = jnp.concatenate([_resize(o, size0) for o in outs], axis=-1)
         fused = nn.relu(nn.Conv(d, (3, 3), padding="SAME", dtype=c.dtype,

@@ -114,7 +114,8 @@ class SwinBlock(nn.Module):
 
         y = LayerNorm(dtype=c, name="ln2")(x)
         y = nn.Dense(4 * ch, dtype=c, name="mlp1")(y)
-        y = nn.gelu(y)
+        # torch nn.GELU default = exact erf (GDINO Mlp, HF SwinIntermediate)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(ch, dtype=c, name="mlp2")(y)
         return x + y
 

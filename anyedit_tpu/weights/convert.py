@@ -1778,3 +1778,123 @@ def convert_blip2(our_tree, state: Mapping[str, Any]):
         raise KeyError(f"unmapped Blip2VQA param {'/'.join(p)}")
 
     return _convert(our_tree, key_fn, state)
+
+
+# ---- UperNet-Swin segmenter (HF UperNetForSemanticSegmentation) ------------
+# Reference capability: the vendored UniFormer mmseg segmentor runs ONE
+# ADE20K UperNet checkpoint for img2seg (visual_condition_tool.py:137-143).
+# We rebuild the segmenter as UperNet-on-Swin and convert the public
+# openmmlab/upernet-swin-* checkpoints (HF transformers naming). All
+# BatchNorms are folded into their convs at conversion time — the model is
+# inference-only, so the folded form is exact and saves a fused op per
+# ConvModule on TPU.
+
+def _bn_fold(st: Mapping[str, Any], conv_key: str, bn_key: str,
+             eps: float = 1e-5):
+    """(folded flax kernel, folded bias) for a ConvModule (conv+BN+ReLU)."""
+    w = np.asarray(st[f"{conv_key}.weight"], np.float32)
+    g = np.asarray(st[f"{bn_key}.weight"], np.float32)
+    b = np.asarray(st[f"{bn_key}.bias"], np.float32)
+    m = np.asarray(st[f"{bn_key}.running_mean"], np.float32)
+    v = np.asarray(st[f"{bn_key}.running_var"], np.float32)
+    scale = g / np.sqrt(v + eps)
+    kern = np.transpose(w, (2, 3, 1, 0)) * scale      # (kh,kw,I,O)·O
+    bias = b - m * scale
+    if f"{conv_key}.bias" in st:                      # rare: conv WITH bias
+        bias = bias + np.asarray(st[f"{conv_key}.bias"], np.float32) * scale
+    return kern, bias
+
+
+def convert_upernet_swin(our_tree, st: Mapping[str, Any]):
+    """UperNetSegmenter ← HF `UperNetForSemanticSegmentation` (Swin
+    backbone). Split q/k/v fuse into our qkv; ConvModule BNs fold; the
+    training-only auxiliary FCN head is ignored."""
+    params = our_tree["params"] if "params" in our_tree else our_tree
+    import re
+
+    def swin_leaf(p: list[str], leaf):
+        name, ln = p[0], p[-1]
+        suff = {"kernel": "weight", "scale": "weight", "bias": "bias",
+                "embedding": "weight"}.get(ln, "weight")
+        if name == "patch_embed":
+            return t_conv(st[f"backbone.embeddings.patch_embeddings."
+                             f"projection.{suff}"]) if ln == "kernel" \
+                else np.asarray(st["backbone.embeddings.patch_embeddings."
+                                   "projection.bias"])
+        if name == "patch_ln":
+            return np.asarray(st[f"backbone.embeddings.norm.{suff}"])
+        m = re.match(r"out_ln(\d+)$", name)
+        if m:
+            return np.asarray(
+                st[f"backbone.hidden_states_norms.stage{int(m[1]) + 1}.{suff}"])
+        m = re.match(r"merge_ln(\d+)$", name)
+        if m:
+            return np.asarray(st[f"backbone.encoder.layers.{m[1]}."
+                                 f"downsample.norm.{suff}"])
+        m = re.match(r"merge_fc(\d+)$", name)
+        if m:
+            return t_linear(st[f"backbone.encoder.layers.{m[1]}."
+                               f"downsample.reduction.weight"])
+        m = re.match(r"stage(\d+)_block(\d+)$", name)
+        if m:
+            blk = f"backbone.encoder.layers.{m[1]}.blocks.{m[2]}"
+            sub = p[1]
+            if sub == "ln1":
+                return np.asarray(st[f"{blk}.layernorm_before.{suff}"])
+            if sub == "ln2":
+                return np.asarray(st[f"{blk}.layernorm_after.{suff}"])
+            if sub == "rel_bias":
+                return np.asarray(
+                    st[f"{blk}.attention.self.relative_position_bias_table"])
+            if sub == "qkv":
+                parts = [st[f"{blk}.attention.self.{n}.{suff}"]
+                         for n in ("query", "key", "value")]
+                if ln == "kernel":
+                    return np.concatenate([t_linear(w) for w in parts], 1)
+                return np.concatenate([np.asarray(b) for b in parts], 0)
+            if sub == "proj":
+                return t_linear(st[f"{blk}.attention.output.dense.weight"]) \
+                    if ln == "kernel" \
+                    else np.asarray(st[f"{blk}.attention.output.dense.bias"])
+            if sub in ("mlp1", "mlp2"):
+                hf = ("intermediate.dense" if sub == "mlp1"
+                      else "output.dense")
+                return t_linear(st[f"{blk}.{hf}.weight"]) if ln == "kernel" \
+                    else np.asarray(st[f"{blk}.{hf}.bias"])
+        raise KeyError(f"unmapped swin param {'/'.join(p)}")
+
+    def head_leaf(p: list[str], leaf):
+        name, ln = p[0], p[-1]
+        table = {"ppm_out": "decode_head.bottleneck",
+                 "fuse": "decode_head.fpn_bottleneck"}
+        m = re.match(r"ppm_(\d+)$", name)
+        if m:
+            table[name] = f"decode_head.psp_modules.{m[1]}.1"
+        m = re.match(r"lat_(\d+)$", name)
+        if m:
+            table[name] = f"decode_head.lateral_convs.{m[1]}"
+        m = re.match(r"fpn_(\d+)$", name)
+        if m:
+            table[name] = f"decode_head.fpn_convs.{m[1]}"
+        if name in table:
+            base = table[name]
+            kern, bias = _bn_fold(st, f"{base}.conv", f"{base}.batch_norm")
+            return kern if ln == "kernel" else bias
+        if name == "cls":
+            return t_conv(st["decode_head.classifier.weight"]) \
+                if ln == "kernel" \
+                else np.asarray(st["decode_head.classifier.bias"])
+        raise KeyError(f"unmapped upernet head param {'/'.join(p)}")
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            return {k: walk(v, path + (k,)) for k, v in node.items()}
+        p = [q for q in path if q != "params"]
+        val = swin_leaf(p[1:], node) if p[0] == "backbone" \
+            else head_leaf(p[1:], node)
+        val = np.asarray(val)
+        if tuple(val.shape) != tuple(np.shape(node)):
+            raise ValueError(f"{'/'.join(p)}: {val.shape} vs {np.shape(node)}")
+        return val
+
+    return walk(params, ())

@@ -15,6 +15,14 @@ import jax  # noqa: E402  (import after env so the flag takes effect)
 # runs, so the env var alone is not enough — force the platform via config.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite is compile-bound on this image's
+# single CPU core (the big tiny-zoo integration tests alone re-jit dozens of
+# programs). First run populates; subsequent runs cut minutes to seconds.
+_cache = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                      ".jax_test_cache")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
 import pytest  # noqa: E402
 
 

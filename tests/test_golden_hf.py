@@ -272,3 +272,42 @@ def test_qformer_matches_hf():
                     ).last_hidden_state
         want = proj(hidden).numpy()
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_upernet_swin_matches_hf():
+    """UperNet-on-Swin segmenter vs HF UperNetForSemanticSegmentation:
+    validates the Swin tower numerics (windowed/shifted attention,
+    relative-position bias, patch merging, exact-erf GELU — the same
+    module GroundingDINO uses), adaptive-avg-pool PSP, FPN ordering, and
+    the BatchNorm folding in the converter."""
+    from transformers import (SwinConfig as HFSwinCfg, UperNetConfig,
+                              UperNetForSemanticSegmentation)
+    from anyedit_tpu.models.segmentation import (SegConfig, UperNetSegmenter)
+    from anyedit_tpu.models.swin import SwinConfig
+    from anyedit_tpu.weights.convert import convert_upernet_swin
+
+    sw = HFSwinCfg(image_size=64, patch_size=4, embed_dim=16,
+                   depths=[2, 2], num_heads=[2, 2], window_size=4,
+                   hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+                   drop_path_rate=0.0,
+                   out_features=["stage1", "stage2"])
+    hf_cfg = UperNetConfig(backbone_config=sw, hidden_size=16,
+                           pool_scales=(1, 3), num_labels=8,
+                           use_auxiliary_head=False)
+    torch.manual_seed(11)
+    hf = UperNetForSemanticSegmentation(hf_cfg).eval()
+
+    ours = UperNetSegmenter(SegConfig(
+        backbone=SwinConfig(embed_dim=16, depths=(2, 2), heads=(2, 2),
+                            window=4, patch=4, out_indices=(0, 1),
+                            dtype=jnp.float32),
+        num_classes=8, feat_dim=16, pool_scales=(1, 3),
+        dtype=jnp.float32))
+    px = np.random.default_rng(12).standard_normal((1, 64, 64, 3)).astype(np.float32)
+    tree = ours.init(jax.random.key(0), jnp.asarray(px))
+    tree = {"params": convert_upernet_swin(tree["params"], _np_state(hf))}
+    got = np.asarray(ours.apply(tree, jnp.asarray(px)))
+    with torch.no_grad():
+        want = hf(torch.from_numpy(px.transpose(0, 3, 1, 2))).logits.numpy()
+    np.testing.assert_allclose(got, want.transpose(0, 2, 3, 1),
+                               atol=5e-4, rtol=1e-3)
