@@ -34,6 +34,7 @@ class LlamaConfig:
     ffn_dim: int = 14336
     rope_theta: float = 500000.0
     norm_eps: float = 1e-5
+    qkv_bias: bool = False       # Qwen2-family (GOT-OCR2's LM) uses biases
     dtype: Any = jnp.bfloat16
 
 
@@ -78,9 +79,9 @@ class LlamaBlock(nn.Module):
         hd = c.dim // c.heads
         b, l, _ = x.shape
         h = RMSNorm(c.norm_eps, name="attn_norm")(x)
-        q = nn.Dense(c.heads * hd, use_bias=False, dtype=c.dtype, name="wq")(h)
-        k = nn.Dense(c.kv_heads * hd, use_bias=False, dtype=c.dtype, name="wk")(h)
-        v = nn.Dense(c.kv_heads * hd, use_bias=False, dtype=c.dtype, name="wv")(h)
+        q = nn.Dense(c.heads * hd, use_bias=c.qkv_bias, dtype=c.dtype, name="wq")(h)
+        k = nn.Dense(c.kv_heads * hd, use_bias=c.qkv_bias, dtype=c.dtype, name="wk")(h)
+        v = nn.Dense(c.kv_heads * hd, use_bias=c.qkv_bias, dtype=c.dtype, name="wv")(h)
         q = q.reshape(b, l, c.heads, hd).transpose(0, 2, 1, 3)
         k = k.reshape(b, l, c.kv_heads, hd).transpose(0, 2, 1, 3)
         v = v.reshape(b, l, c.kv_heads, hd).transpose(0, 2, 1, 3)
@@ -139,8 +140,13 @@ class Llama(nn.Module):
         return self.tok(ids)
 
     def __call__(self, ids):
-        x = self.tok(ids)
-        l = ids.shape[1]
+        return self.forward_embeds(self.tok(ids))
+
+    def forward_embeds(self, embeds):
+        """Full causal forward over pre-computed embeddings (B,L,D) —
+        the multimodal entry (GOT-OCR/VILA splice image tokens in)."""
+        x = embeds
+        l = embeds.shape[1]
         pos = jnp.arange(l)
         bias = jnp.triu(jnp.full((l, l), -1e9, jnp.float32), k=1)[None, None]
         for blk in self.blocks:

@@ -128,7 +128,8 @@ class SAMEncBlock(nn.Module):
         x = shortcut + out
         y = LayerNorm(dtype=c.dtype, name="ln2")(x)
         y = nn.Dense(4 * ch, dtype=c.dtype, name="mlp1")(y)
-        y = nn.gelu(y)
+        # torch MLPBlock act=nn.GELU → exact erf
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(ch, dtype=c.dtype, name="mlp2")(y)
         return x + y
 

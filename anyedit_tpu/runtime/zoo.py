@@ -1427,34 +1427,33 @@ class ModelZoo:
     # ---- OCR recognizer (textual_change gate) -----------------------------
     def ocr_fn(self):
         """image_u8 → recognized text (GOT-OCR2 contract, utils.py:43-49).
-        Without converted GOT weights the random reader emits stable
-        placeholder pieces, so the textual gate fails closed — install the
-        'ocr' slot only when weights exist (it is deliberately NOT in
-        SLOTS_FOR_EDIT_TYPE for that reason)."""
+        Real GOT architecture (SAM-ViT-B tower → conv projector → Qwen2
+        LM, HF-golden-parity — models/ocr.py); one 'ocr' weights slot
+        holds the whole checkpoint. Without converted weights the random
+        reader emits stable placeholder pieces, so the textual gate fails
+        closed — install the slot only when weights exist (it is
+        deliberately NOT in SLOTS_FOR_EDIT_TYPE for that reason)."""
         def build():
             from anyedit_tpu.models.ocr import (
-                OCRReader, greedy_decode, detokenize_ids)
+                GotOCR, greedy_decode, detokenize_ids)
 
             ocr_cfg = self.cfg.ocr
-            vis = CLIPVisionEncoder(ocr_cfg.vision)
-            vpx = jnp.zeros((1, ocr_cfg.vision.image_size,
-                             ocr_cfg.vision.image_size, 3), jnp.float32)
-            vp = load_params(vis, (vpx,), self._wf("ocr_vision"), self.seed)
-            vfn = jax.jit(lambda px: vis.apply(vp, px))
-            reader = OCRReader(ocr_cfg)
-            n_tok = (ocr_cfg.vision.image_size // ocr_cfg.vision.patch) ** 2 + 1
-            it = jnp.zeros((1, n_tok, ocr_cfg.vision.hidden))
-            ids = jnp.zeros((1, ocr_cfg.max_tokens), jnp.int32)
-            params = load_params(reader, (it, ids), self._wf("ocr"), self.seed)
-            fn = jax.jit(lambda it, ids: reader.apply(params, it, ids))
+            model = GotOCR(ocr_cfg)
+            s = ocr_cfg.vision.img_size
+            vpx = jnp.zeros((1, s, s, 3), jnp.float32)
+            ids0 = jnp.zeros((1, ocr_cfg.max_tokens), jnp.int32)
+            params = load_params(model, (vpx, ids0), self._wf("ocr"),
+                                 self.seed)
+            encode = jax.jit(lambda px: model.apply(
+                params, px, method=GotOCR.encode_image))
+            fn = jax.jit(lambda it, ids: model.apply(
+                params, it, ids, method=GotOCR.lm_logits))
 
             def read(image_u8) -> str:
                 px = resize_image(jnp.asarray(image_u8, jnp.float32) / 255.0,
-                                  ocr_cfg.vision.image_size,
-                                  ocr_cfg.vision.image_size, "bilinear")
-                toks, _ = vfn(imagenet_normalize(px)[None])
-                out_ids = greedy_decode(fn, toks.astype(jnp.float32),
-                                        ocr_cfg.max_tokens)
+                                  s, s, "bilinear")
+                toks = encode(imagenet_normalize(px)[None])
+                out_ids = greedy_decode(fn, toks, ocr_cfg.max_tokens)
                 return detokenize_ids(out_ids[0], lambda i: f"▁t{i}")
             return read
         return self._get("ocr", build)

@@ -1898,3 +1898,97 @@ def convert_upernet_swin(our_tree, st: Mapping[str, Any]):
         return val
 
     return walk(params, ())
+
+
+# ---- GOT-OCR2 (HF GotOcr2ForConditionalGeneration) -------------------------
+
+def convert_got_ocr(our_tree, st: Mapping[str, Any]):
+    """GotOCR ← stepfun-ai/GOT-OCR2_0 via HF naming: SAM-ViT-B vision tower
+    (`model.vision_tower.*`), conv projector (`model.multi_modal_projector.*`),
+    Qwen2 LM (`model.language_model.*` + top-level tied `lm_head.weight`)."""
+    params = our_tree["params"] if "params" in our_tree else our_tree
+    import re
+
+    def vis_leaf(p, leaf):
+        name, ln = p[0], p[-1]
+        pre = "model.vision_tower"
+        if name == "patch_embed":
+            return t_conv(st[f"{pre}.patch_embed.projection.weight"]) \
+                if ln == "kernel" \
+                else np.asarray(st[f"{pre}.patch_embed.projection.bias"])
+        if name == "pos_emb":
+            return np.asarray(st[f"{pre}.pos_embed"])[0]
+        neck = {"neck1": "conv1", "neck_ln1": "layer_norm1",
+                "neck2": "conv2", "neck_ln2": "layer_norm2"}
+        if name in neck:
+            k = f"{pre}.neck.{neck[name]}"
+            return t_conv(st[f"{k}.weight"]) if ln == "kernel" \
+                else np.asarray(st[f"{k}.{'weight' if ln == 'scale' else 'bias'}"])
+        m = re.match(r"block_(\d+)$", name)
+        if m:
+            blk = f"{pre}.layers.{m[1]}"
+            sub = p[1]
+            lnorm = {"ln1": "layer_norm1", "ln2": "layer_norm2"}
+            if sub in lnorm:
+                return np.asarray(st[f"{blk}.{lnorm[sub]}."
+                                     f"{'weight' if ln == 'scale' else 'bias'}"])
+            if sub in ("rel_h", "rel_w"):
+                return np.asarray(st[f"{blk}.attn.rel_pos_"
+                                     f"{'h' if sub == 'rel_h' else 'w'}"])
+            hf = {"qkv": "attn.qkv", "proj": "attn.proj",
+                  "mlp1": "mlp.lin1", "mlp2": "mlp.lin2"}[sub]
+            return t_linear(st[f"{blk}.{hf}.weight"]) if ln == "kernel" \
+                else np.asarray(st[f"{blk}.{hf}.bias"])
+        raise KeyError(f"unmapped GOT vision param {'/'.join(p)}")
+
+    def lm_leaf(p, leaf):
+        name, ln = p[0], p[-1]
+        pre = "model.language_model"
+        if name == "tok":
+            return np.asarray(st[f"{pre}.embed_tokens.weight"])
+        if name == "norm_f":
+            return np.asarray(st[f"{pre}.norm.weight"])
+        if name == "lm_head":
+            # tied in GOT; the state dict carries the tensor explicitly
+            return t_linear(st["lm_head.weight"])
+        m = re.match(r"layer_(\d+)$", name)
+        if m:
+            blk = f"{pre}.layers.{m[1]}"
+            hf = {"wq": "self_attn.q_proj", "wk": "self_attn.k_proj",
+                  "wv": "self_attn.v_proj", "wo": "self_attn.o_proj",
+                  "w_gate": "mlp.gate_proj", "w_up": "mlp.up_proj",
+                  "w_down": "mlp.down_proj",
+                  "attn_norm": "input_layernorm",
+                  "mlp_norm": "post_attention_layernorm"}[p[1]]
+            if p[1] in ("attn_norm", "mlp_norm"):
+                return np.asarray(st[f"{blk}.{hf}.weight"])
+            return t_linear(st[f"{blk}.{hf}.weight"]) if ln == "kernel" \
+                else np.asarray(st[f"{blk}.{hf}.bias"])
+        raise KeyError(f"unmapped GOT lm param {'/'.join(p)}")
+
+    def leaf(p, node):
+        name = p[0]
+        if name == "vision":
+            return vis_leaf(p[1:], node)
+        if name == "lm":
+            return lm_leaf(p[1:], node)
+        mm = "model.multi_modal_projector"
+        if name in ("up1", "up2"):
+            n = "conv_upsampler1" if name == "up1" else "conv_upsampler2"
+            return t_conv(st[f"{mm}.{n}.weight"])
+        if name == "mm_proj":
+            return t_linear(st[f"{mm}.multimodal_projector.weight"]) \
+                if p[-1] == "kernel" \
+                else np.asarray(st[f"{mm}.multimodal_projector.bias"])
+        raise KeyError(f"unmapped GOT param {'/'.join(p)}")
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            return {k: walk(v, path + (k,)) for k, v in node.items()}
+        p = [q for q in path if q != "params"]
+        val = np.asarray(leaf(p, node))
+        if tuple(val.shape) != tuple(np.shape(node)):
+            raise ValueError(f"{'/'.join(p)}: {val.shape} vs {np.shape(node)}")
+        return val
+
+    return walk(params, ())

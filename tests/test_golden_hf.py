@@ -311,3 +311,53 @@ def test_upernet_swin_matches_hf():
         want = hf(torch.from_numpy(px.transpose(0, 3, 1, 2))).logits.numpy()
     np.testing.assert_allclose(got, want.transpose(0, 2, 3, 1),
                                atol=5e-4, rtol=1e-3)
+
+
+def test_got_ocr_matches_hf():
+    """Full GOT-OCR2 stack vs HF GotOcr2ForConditionalGeneration: SAM-ViT
+    vision tower (windowed + global decomposed-rel-pos attention, neck),
+    conv upsampler projector, and the Qwen2 LM (qkv biases, tied lm_head)
+    over the [image ⊕ text] sequence."""
+    from transformers import GotOcr2ForConditionalGeneration, GotOcr2Config
+    from transformers.models.got_ocr2 import GotOcr2VisionConfig
+    from transformers import Qwen2Config
+    from anyedit_tpu.models.ocr import GotOCR, OCRConfig, TINY_QWEN
+    from anyedit_tpu.models.sam import SAMConfig
+    from anyedit_tpu.weights.convert import convert_got_ocr
+
+    vc = GotOcr2VisionConfig(hidden_size=16, num_hidden_layers=2,
+                             num_attention_heads=2, image_size=64,
+                             patch_size=16, window_size=2,
+                             global_attn_indexes=[1], mlp_dim=64,
+                             output_channels=8)
+    tc = Qwen2Config(vocab_size=256, hidden_size=32, num_hidden_layers=2,
+                     num_attention_heads=4, num_key_value_heads=2,
+                     intermediate_size=64, rope_theta=10000.0,
+                     rms_norm_eps=1e-6, tie_word_embeddings=True,
+                     attention_dropout=0.0)
+    cfg = GotOcr2Config(vision_config=vc.to_dict(), text_config=tc.to_dict(),
+                        image_token_index=255)
+    torch.manual_seed(13)
+    hf = GotOcr2ForConditionalGeneration(cfg).eval()
+
+    ours = GotOCR(OCRConfig(
+        vision=SAMConfig(img_size=64, patch=16, enc_dim=16, enc_depth=2,
+                         enc_heads=2, window=2, global_attn_idx=(1,),
+                         out_dim=8, dtype=jnp.float32),
+        lm=dataclasses.replace(TINY_QWEN, dtype=jnp.float32),
+        dtype=jnp.float32))
+    px = np.random.default_rng(14).standard_normal((1, 64, 64, 3)).astype(np.float32)
+    # 64px/16 → 4×4 grid → two stride-2 convs → 1×1 → ONE image token
+    ids = np.array([[7, 21, 99]], np.int64)
+    tree = ours.init(jax.random.key(0), jnp.asarray(px),
+                     jnp.asarray(ids, jnp.int32))
+    tree = {"params": convert_got_ocr(tree["params"], _np_state(hf))}
+    got = np.asarray(ours.apply(tree, jnp.asarray(px),
+                                jnp.asarray(ids, jnp.int32)))
+    # HF path: image placeholder token first, then the prompt ids
+    input_ids = np.concatenate([[[255]], ids], axis=1)
+    with torch.no_grad():
+        want = hf(input_ids=torch.from_numpy(input_ids),
+                  pixel_values=torch.from_numpy(px.transpose(0, 3, 1, 2)),
+                  ).logits.numpy()
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
