@@ -308,6 +308,15 @@ def _aesthetic(src):
     return C.convert_aesthetic(tree, src)
 
 
+def _vila(src):
+    from anyedit_tpu.models.vila import VilaVQA, VILA_1_5
+    m = VilaVQA(VILA_1_5)
+    s = VILA_1_5.vision.image_size
+    tree = _abstract(m, jnp.zeros((1, s, s, 3), jnp.float32),
+                     jnp.zeros((1, 8), jnp.int32))
+    return C.convert_vila(tree, src)
+
+
 def _got_ocr(src):
     from anyedit_tpu.models.ocr import GotOCR, GOT_OCR
     m = GotOCR(GOT_OCR)
@@ -347,6 +356,7 @@ REGISTRY: dict[str, tuple[str, Callable]] = {
     "aesthetic": ("sac+logos+ava1-l14-linearMSE.pth", _aesthetic),
     "seg": ("openmmlab/upernet-swin-tiny (HF, ADE20K)", _seg),
     "ocr": ("stepfun-ai/GOT-OCR-2.0-hf (full model)", _got_ocr),
+    "vila": ("llava-hf/llava-1.5-7b-hf (full model)", _vila),
     # AnyDoor: the four pieces of the one ControlLDM checkpoint
     # (epoch=1-step=8687.ckpt) + the hub DINOv2 ViT-g conditioner
     "unet_anydoor": ("anydoor ckpt (model.diffusion_model.*)", _anydoor_unet),

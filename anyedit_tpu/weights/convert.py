@@ -1992,3 +1992,33 @@ def convert_got_ocr(our_tree, st: Mapping[str, Any]):
         return val
 
     return walk(params, ())
+
+
+# ---- VILA / llava VQA judge (HF LlavaForConditionalGeneration) -------------
+
+def convert_vila(our_tree, st: Mapping[str, Any]):
+    """VilaVQA ← llava-1.5-family checkpoints (HF naming). The reference's
+    VILA (other_modules/vila) is the same llava composition — CLIP tower
+    (feature layer -2: our tower omits the final block, so those weights
+    are simply skipped), 2-layer GELU projector, Llama decoder. lm_head is
+    top-level; the LM sits under `model.language_model.`."""
+    def key_fn(path):
+        p = [q for q in path if q != "params"]
+        if p[0] == "vision":
+            k, tf = _clip_vision_key(tuple(p[1:]))
+            return f"model.vision_tower.{k}", tf
+        if p[0] == "projector":
+            name, leaf = p[1], p[-1]
+            suff = "weight" if leaf == "kernel" else "bias"
+            n = "linear_1" if name == "fc1" else "linear_2"
+            return (f"model.multi_modal_projector.{n}.{suff}",
+                    t_linear if leaf == "kernel" else t_id)
+        if p[0] == "lm":
+            k, tf = _llama_key(tuple(p[1:]))
+            if k == "lm_head.weight":
+                return k, tf
+            assert k.startswith("model.")
+            return f"model.language_model.{k[len('model.'):]}", tf
+        raise KeyError(f"unmapped VILA param {'/'.join(p)}")
+
+    return _convert(our_tree, key_fn, st)

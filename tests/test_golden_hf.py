@@ -361,3 +361,53 @@ def test_got_ocr_matches_hf():
                   pixel_values=torch.from_numpy(px.transpose(0, 3, 1, 2)),
                   ).logits.numpy()
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+def test_vila_llava_matches_hf():
+    """VILA VQA judge vs HF LlavaForConditionalGeneration: CLIP feature
+    layer -2 via a truncated tower, CLS-dropped select, exact-GELU
+    projector, Llama decoder over [image ⊕ prompt]."""
+    from transformers import (LlavaForConditionalGeneration, LlavaConfig,
+                              CLIPVisionConfig as HFVisCfg,
+                              LlamaConfig as HFLlamaCfg)
+    from anyedit_tpu.models.vila import VilaVQA, VilaConfig
+    from anyedit_tpu.models.clip import CLIPVisionConfig
+    from anyedit_tpu.models.llama import LlamaConfig
+    from anyedit_tpu.weights.convert import convert_vila
+
+    vc = HFVisCfg(hidden_size=16, num_hidden_layers=2,
+                  num_attention_heads=2, intermediate_size=64,
+                  image_size=32, patch_size=8, hidden_act="quick_gelu",
+                  attention_dropout=0.0)
+    tc = HFLlamaCfg(vocab_size=64, hidden_size=32, num_hidden_layers=2,
+                    num_attention_heads=4, num_key_value_heads=2,
+                    intermediate_size=64, rope_theta=10000.0,
+                    rms_norm_eps=1e-5, attention_dropout=0.0,
+                    tie_word_embeddings=False)
+    cfg = LlavaConfig(vision_config=vc.to_dict(), text_config=tc.to_dict(),
+                      image_token_index=63, vision_feature_layer=-2,
+                      vision_feature_select_strategy="default",
+                      projector_hidden_act="gelu")
+    torch.manual_seed(15)
+    hf = LlavaForConditionalGeneration(cfg).eval()
+
+    ours = VilaVQA(VilaConfig(
+        vision=CLIPVisionConfig(image_size=32, patch=8, hidden=16, layers=1,
+                                heads=2, use_proj=False, dtype=jnp.float32),
+        lm=LlamaConfig(vocab_size=64, dim=32, layers=2, heads=4, kv_heads=2,
+                       ffn_dim=64, rope_theta=10000.0, dtype=jnp.float32),
+        dtype=jnp.float32))
+    px = np.random.default_rng(16).standard_normal((1, 32, 32, 3)).astype(np.float32)
+    ids = np.array([[5, 17, 42]], np.int64)
+    tree = ours.init(jax.random.key(0), jnp.asarray(px),
+                     jnp.asarray(ids, jnp.int32))
+    tree = {"params": convert_vila(tree["params"], _np_state(hf))}
+    got = np.asarray(ours.apply(tree, jnp.asarray(px),
+                                jnp.asarray(ids, jnp.int32)))
+    # 16 image patches (CLS dropped) + prompt
+    input_ids = np.concatenate([np.full((1, 16), 63), ids], axis=1)
+    with torch.no_grad():
+        want = hf(input_ids=torch.from_numpy(input_ids),
+                  pixel_values=torch.from_numpy(px.transpose(0, 3, 1, 2)),
+                  ).logits.numpy()
+    np.testing.assert_allclose(got, want[:, -1], atol=5e-4, rtol=1e-3)
