@@ -150,6 +150,10 @@ class BiFusion(nn.Module):
                         (c.hidden,), jnp.float32)
         gt = self.param("gamma_t", nn.initializers.constant(1e-4),
                         (c.hidden,), jnp.float32)
+        # NOTE the reference REBINDS v/l to the normed features before the
+        # gated residual (fuse_modules.py BiAttentionBlock.forward:
+        # `v = self.layer_norm_v(v); ...; v = v + drop_path(gamma_v·Δv)`) —
+        # the residual stream itself is layer-normed every fusion layer.
         img_n = LayerNorm(dtype=c.dtype, name="ln_i")(img)
         txt_n = LayerNorm(dtype=c.dtype, name="ln_t")(txt)
         b, s, _ = img_n.shape
@@ -163,21 +167,34 @@ class BiFusion(nn.Module):
         t2i = sdpa_xla(kt, qi, vi)                                # text attends img
         i2t = i2t.transpose(0, 2, 1, 3).reshape(b, s, c.hidden)
         t2i = t2i.transpose(0, 2, 1, 3).reshape(b, t, c.hidden)
-        img = img + gi * nn.Dense(c.hidden, dtype=c.dtype, name="oi")(i2t)
-        txt = txt + gt * nn.Dense(c.hidden, dtype=c.dtype, name="ot")(t2i)
+        img = img_n + gi * nn.Dense(c.hidden, dtype=c.dtype, name="oi")(i2t)
+        txt = txt_n + gt * nn.Dense(c.hidden, dtype=c.dtype, name="ot")(t2i)
         return img, txt
 
 
 class FFN(nn.Module):
     cfg: GDINOConfig
+    dim: int = 0          # 0 → cfg.ffn_dim (text enhancer uses ffn_dim//2)
 
     @nn.compact
     def __call__(self, x):
         c = self.cfg
-        h = nn.Dense(c.ffn_dim, dtype=c.dtype, name="fc1")(x)
+        h = nn.Dense(self.dim or c.ffn_dim, dtype=c.dtype, name="fc1")(x)
         h = nn.relu(h)
         h = nn.Dense(c.hidden, dtype=c.dtype, name="fc2")(h)
         return LayerNorm(dtype=c.dtype, name="ln")(x + h)
+
+
+def sine_pos_1d(vals: jnp.ndarray, num_feats: int,
+                temp: float = 10000.0) -> jnp.ndarray:
+    """get_sine_pos_embed of a scalar per position (reference
+    utils.get_sine_pos_embed, exchange_xy=False): vals (..., ) →
+    (..., num_feats), interleaved sin/cos, scale 2π."""
+    dim_t = temp ** (2 * (jnp.arange(num_feats, dtype=jnp.float32) // 2)
+                     / num_feats)
+    p = vals.astype(jnp.float32)[..., None] * (2 * jnp.pi) / dim_t
+    return jnp.stack([jnp.sin(p[..., 0::2]), jnp.cos(p[..., 1::2])],
+                     axis=-1).reshape(*vals.shape, num_feats)
 
 
 class EncoderLayer(nn.Module):
@@ -185,24 +202,27 @@ class EncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, img, txt, spatial_shapes, ref_points, pos, txt_bias,
-                 txt_kpm_bias):
+                 txt_kpm_bias, txt_pos):
         c = self.cfg
         # fusion first (per reference encoder ordering)
         img, txt = BiFusion(c, name="fusion")(img, txt, txt_kpm_bias)
-        # text self-attention — post-norm (reference text_layers are
-        # torch TransformerEncoderLayers, transformer.py)
-        h = c.heads
+        # text self-attention — post-norm (reference text_layers,
+        # transformer.py: the enhancer runs at HALF the heads and HALF the
+        # ffn width — `nhead//2, dim_feedforward//2`); q/k carry the sine
+        # embedding of the per-segment position ids (pos_text)
+        h = max(1, c.heads // 2)
         b, t, _ = txt.shape
         d = c.hidden // h
         sp = lambda x: x.reshape(b, t, h, d).transpose(0, 2, 1, 3)
-        ta = sdpa_xla(sp(nn.Dense(c.hidden, dtype=c.dtype, name="tq")(txt)),
-                      sp(nn.Dense(c.hidden, dtype=c.dtype, name="tk")(txt)),
+        txt_qk = txt + txt_pos.astype(txt.dtype)
+        ta = sdpa_xla(sp(nn.Dense(c.hidden, dtype=c.dtype, name="tq")(txt_qk)),
+                      sp(nn.Dense(c.hidden, dtype=c.dtype, name="tk")(txt_qk)),
                       sp(nn.Dense(c.hidden, dtype=c.dtype, name="tv")(txt)),
                       bias=txt_bias)
         ta = ta.transpose(0, 2, 1, 3).reshape(b, t, c.hidden)
         txt = LayerNorm(dtype=c.dtype, name="txt_ln")(
             txt + nn.Dense(c.hidden, dtype=c.dtype, name="to")(ta))
-        txt = FFN(c, name="txt_ffn")(txt)
+        txt = FFN(c, dim=max(1, c.ffn_dim // 2), name="txt_ffn")(txt)
         # vision deformable self-attention — post-norm (deformable DETR)
         out = DeformAttnModule(c, name="deform")(
             img + pos, img, spatial_shapes, ref_points)
@@ -348,9 +368,11 @@ class GroundingDINO(nn.Module):
         # ---- cross-modality encoder ------------------------------------
         # text self-attention keeps the within-phrase mask; image→text
         # fusion and decoder cross-attention see padding-masked text only
+        txt_pos = sine_pos_1d(position_ids, c.hidden)          # (B,T,C)
         for i in range(c.enc_layers):
             img, txt = EncoderLayer(c, name=f"enc_{i}")(
-                img, txt, spatial_shapes, ref_pts, pos, seg_bias, kpm_bias)
+                img, txt, spatial_shapes, ref_pts, pos, seg_bias, kpm_bias,
+                txt_pos)
 
         # ---- language-guided query selection ---------------------------
         out_mem = LayerNorm(dtype=c.dtype, name="mem_ln")(
@@ -404,9 +426,10 @@ class GroundingDINO(nn.Module):
         tgt = LayerNorm(dtype=c.dtype, name="dec_norm")(tgt)
 
         # ---- contrastive phrase logits ----------------------------------
+        # plain dot product — the reference ContrastiveEmbed (utils.py) has
+        # NO 1/sqrt(d) scale and NO bias; the box_threshold values applied
+        # to sigmoid(logits) downstream assume this calibration
         logits = jnp.einsum("bqc,btc->bqt", tgt.astype(jnp.float32),
-                            txt.astype(jnp.float32)) / jnp.sqrt(float(c.hidden))
-        logit_bias = self.param("logit_bias", nn.initializers.zeros, (), jnp.float32)
-        logits = logits + logit_bias
+                            txt.astype(jnp.float32))
         logits = jnp.where(text_mask[:, None, :], logits, -1e9)
         return logits, ref_boxes

@@ -554,8 +554,6 @@ def _gdino_key(path: tuple[str, ...]) -> tuple[Any, Callable]:
         return "transformer.tgt_embed.weight", t_id
     if name == "dec_norm":
         return norm("transformer.decoder.norm")
-    if name == "logit_bias":
-        return "__logit_bias__", t_id
     m = re.match(r"ref_point_fc(\d)$", name)
     if m:
         return lin(f"transformer.decoder.ref_point_head.layers.{int(m[1]) - 1}")
@@ -645,10 +643,9 @@ def _gdino_key(path: tuple[str, ...]) -> tuple[Any, Callable]:
 
 def convert_gdino(our_tree, state: Mapping[str, Any]):
     """Official GroundingDINO checkpoint → our tree. Strips the DDP
-    'module.' prefix; our scalar logit_bias (the reference ContrastiveEmbed
-    carries no learned bias) initializes to 0."""
+    'module.' prefix. (The reference ContrastiveEmbed is a plain dot
+    product — no learned scale or bias.)"""
     st = {k.removeprefix("module."): v for k, v in state.items()}
-    st.setdefault("__logit_bias__", np.zeros(()))
     return _convert2(our_tree, _gdino_key, st)
 
 
@@ -1805,6 +1802,61 @@ def _bn_fold(st: Mapping[str, Any], conv_key: str, bn_key: str,
     return kern, bias
 
 
+def _swin_hf_leaf(st: Mapping[str, Any], prefix: str, p: list):
+    """One leaf of our SwinTransformer tree ← HF Swin naming under
+    `{prefix}.` (shared by the UperNet segmenter and GroundingDINO's HF
+    checkpoint layout): fused qkv ← split query/key/value."""
+    import re
+    name, ln = p[0], p[-1]
+    suff = {"kernel": "weight", "scale": "weight", "bias": "bias",
+            "embedding": "weight"}.get(ln, "weight")
+    if name == "patch_embed":
+        return t_conv(st[f"{prefix}.embeddings.patch_embeddings."
+                         f"projection.{suff}"]) if ln == "kernel" \
+            else np.asarray(st[f"{prefix}.embeddings.patch_embeddings."
+                               "projection.bias"])
+    if name == "patch_ln":
+        return np.asarray(st[f"{prefix}.embeddings.norm.{suff}"])
+    m = re.match(r"out_ln(\d+)$", name)
+    if m:
+        return np.asarray(
+            st[f"{prefix}.hidden_states_norms.stage{int(m[1]) + 1}.{suff}"])
+    m = re.match(r"merge_ln(\d+)$", name)
+    if m:
+        return np.asarray(st[f"{prefix}.encoder.layers.{m[1]}."
+                             f"downsample.norm.{suff}"])
+    m = re.match(r"merge_fc(\d+)$", name)
+    if m:
+        return t_linear(st[f"{prefix}.encoder.layers.{m[1]}."
+                           f"downsample.reduction.weight"])
+    m = re.match(r"stage(\d+)_block(\d+)$", name)
+    if m:
+        blk = f"{prefix}.encoder.layers.{m[1]}.blocks.{m[2]}"
+        sub = p[1]
+        if sub == "ln1":
+            return np.asarray(st[f"{blk}.layernorm_before.{suff}"])
+        if sub == "ln2":
+            return np.asarray(st[f"{blk}.layernorm_after.{suff}"])
+        if sub == "rel_bias":
+            return np.asarray(
+                st[f"{blk}.attention.self.relative_position_bias_table"])
+        if sub == "qkv":
+            parts = [st[f"{blk}.attention.self.{n}.{suff}"]
+                     for n in ("query", "key", "value")]
+            if ln == "kernel":
+                return np.concatenate([t_linear(w) for w in parts], 1)
+            return np.concatenate([np.asarray(b) for b in parts], 0)
+        if sub == "proj":
+            return t_linear(st[f"{blk}.attention.output.dense.weight"]) \
+                if ln == "kernel" \
+                else np.asarray(st[f"{blk}.attention.output.dense.bias"])
+        if sub in ("mlp1", "mlp2"):
+            hf = "intermediate.dense" if sub == "mlp1" else "output.dense"
+            return t_linear(st[f"{blk}.{hf}.weight"]) if ln == "kernel" \
+                else np.asarray(st[f"{blk}.{hf}.bias"])
+    raise KeyError(f"unmapped swin param {'/'.join(p)}")
+
+
 def convert_upernet_swin(our_tree, st: Mapping[str, Any]):
     """UperNetSegmenter ← HF `UperNetForSemanticSegmentation` (Swin
     backbone). Split q/k/v fuse into our qkv; ConvModule BNs fold; the
@@ -1813,55 +1865,7 @@ def convert_upernet_swin(our_tree, st: Mapping[str, Any]):
     import re
 
     def swin_leaf(p: list[str], leaf):
-        name, ln = p[0], p[-1]
-        suff = {"kernel": "weight", "scale": "weight", "bias": "bias",
-                "embedding": "weight"}.get(ln, "weight")
-        if name == "patch_embed":
-            return t_conv(st[f"backbone.embeddings.patch_embeddings."
-                             f"projection.{suff}"]) if ln == "kernel" \
-                else np.asarray(st["backbone.embeddings.patch_embeddings."
-                                   "projection.bias"])
-        if name == "patch_ln":
-            return np.asarray(st[f"backbone.embeddings.norm.{suff}"])
-        m = re.match(r"out_ln(\d+)$", name)
-        if m:
-            return np.asarray(
-                st[f"backbone.hidden_states_norms.stage{int(m[1]) + 1}.{suff}"])
-        m = re.match(r"merge_ln(\d+)$", name)
-        if m:
-            return np.asarray(st[f"backbone.encoder.layers.{m[1]}."
-                                 f"downsample.norm.{suff}"])
-        m = re.match(r"merge_fc(\d+)$", name)
-        if m:
-            return t_linear(st[f"backbone.encoder.layers.{m[1]}."
-                               f"downsample.reduction.weight"])
-        m = re.match(r"stage(\d+)_block(\d+)$", name)
-        if m:
-            blk = f"backbone.encoder.layers.{m[1]}.blocks.{m[2]}"
-            sub = p[1]
-            if sub == "ln1":
-                return np.asarray(st[f"{blk}.layernorm_before.{suff}"])
-            if sub == "ln2":
-                return np.asarray(st[f"{blk}.layernorm_after.{suff}"])
-            if sub == "rel_bias":
-                return np.asarray(
-                    st[f"{blk}.attention.self.relative_position_bias_table"])
-            if sub == "qkv":
-                parts = [st[f"{blk}.attention.self.{n}.{suff}"]
-                         for n in ("query", "key", "value")]
-                if ln == "kernel":
-                    return np.concatenate([t_linear(w) for w in parts], 1)
-                return np.concatenate([np.asarray(b) for b in parts], 0)
-            if sub == "proj":
-                return t_linear(st[f"{blk}.attention.output.dense.weight"]) \
-                    if ln == "kernel" \
-                    else np.asarray(st[f"{blk}.attention.output.dense.bias"])
-            if sub in ("mlp1", "mlp2"):
-                hf = ("intermediate.dense" if sub == "mlp1"
-                      else "output.dense")
-                return t_linear(st[f"{blk}.{hf}.weight"]) if ln == "kernel" \
-                    else np.asarray(st[f"{blk}.{hf}.bias"])
-        raise KeyError(f"unmapped swin param {'/'.join(p)}")
+        return _swin_hf_leaf(st, "backbone", p)
 
     def head_leaf(p: list[str], leaf):
         name, ln = p[0], p[-1]
@@ -2022,3 +2026,152 @@ def convert_vila(our_tree, st: Mapping[str, Any]):
         raise KeyError(f"unmapped VILA param {'/'.join(p)}")
 
     return _convert(our_tree, key_fn, st)
+
+
+# ---- GroundingDINO via HF transformers naming ------------------------------
+
+def convert_gdino_hf(our_tree, st: Mapping[str, Any]):
+    """GroundingDINO ← HF `GroundingDinoForObjectDetection` naming (e.g.
+    IDEA-Research/grounding-dino-*). Complements `convert_gdino` (original
+    repo naming); also the vehicle for the full-model golden parity test."""
+    params = our_tree["params"] if "params" in our_tree else our_tree
+    import re
+
+    def mlp_head(base, sub, ln):
+        i = {"fc1": 0, "fc2": 1, "fc3": 2}[sub]
+        k = f"{base}.layers.{i}.{'weight' if ln == 'kernel' else 'bias'}"
+        return t_linear(st[k]) if ln == "kernel" else np.asarray(st[k])
+
+    def attn_qkvo(base, sub, ln, names=("query", "key", "value", "out_proj")):
+        n = dict(zip(("q", "k", "v", "o"), names))[sub]
+        k = f"{base}.{n}.{'weight' if ln == 'kernel' else 'bias'}"
+        return t_linear(st[k]) if ln == "kernel" else np.asarray(st[k])
+
+    def deform(base, sub, ln):
+        hf = {"value_proj": "value_proj", "sampling_offsets":
+              "sampling_offsets", "attn_weights": "attention_weights",
+              "out_proj": "output_proj"}[sub]
+        k = f"{base}.{hf}.{'weight' if ln == 'kernel' else 'bias'}"
+        return t_linear(st[k]) if ln == "kernel" else np.asarray(st[k])
+
+    def lnorm(base, ln):
+        return np.asarray(st[f"{base}.{'weight' if ln == 'scale' else 'bias'}"])
+
+    def ffn(base, p, ln, names=("fc1", "fc2", "final_layer_norm")):
+        sub = p[0]
+        if sub == "ln":
+            return lnorm(f"{base}.{names[2]}", ln)
+        k = f"{base}.{names[0] if sub == 'fc1' else names[1]}." \
+            f"{'weight' if ln == 'kernel' else 'bias'}"
+        return t_linear(st[k]) if ln == "kernel" else np.asarray(st[k])
+
+    def leaf(p, node):
+        name, ln = p[0], p[-1]
+        if name == "bert":
+            k, tf = _bert_key(tuple(p[1:]), prefix="model.text_backbone.")
+            return tf(st[k])
+        if name == "swin":
+            return _swin_hf_leaf(st, "model.backbone.conv_encoder.model",
+                                 p[1:])
+        if name == "feat_map":
+            k = f"model.text_projection.{'weight' if ln == 'kernel' else 'bias'}"
+            return t_linear(st[k]) if ln == "kernel" else np.asarray(st[k])
+        m = re.match(r"in_proj_(\d+)$", name)
+        if m:
+            k = f"model.input_proj_vision.{m[1]}.0." \
+                f"{'weight' if ln == 'kernel' else 'bias'}"
+            return t_conv(st[k]) if ln == "kernel" else np.asarray(st[k])
+        m = re.match(r"in_ln_(\d+)$", name)
+        if m:
+            return lnorm(f"model.input_proj_vision.{m[1]}.1", ln)
+        if name == "level_embed":
+            return np.asarray(st["model.level_embed"])
+        if name == "tgt_embed":
+            return np.asarray(st["model.query_position_embeddings.weight"])
+        if name == "mem_proj":
+            k = f"model.enc_output.{'weight' if ln == 'kernel' else 'bias'}"
+            return t_linear(st[k]) if ln == "kernel" else np.asarray(st[k])
+        if name == "mem_ln":
+            return lnorm("model.enc_output_norm", ln)
+        if name == "enc_box_head":
+            return mlp_head("model.encoder_output_bbox_embed", p[1], ln)
+        m = re.match(r"dec_box_head_(\d+)$", name)
+        if m:
+            return mlp_head(f"bbox_embed.{m[1]}", p[1], ln)
+        m = re.match(r"ref_point_fc(\d)$", name)
+        if m:
+            i = int(m[1]) - 1
+            k = f"model.decoder.reference_points_head.layers.{i}." \
+                f"{'weight' if ln == 'kernel' else 'bias'}"
+            return t_linear(st[k]) if ln == "kernel" else np.asarray(st[k])
+        if name == "dec_norm":
+            return lnorm("model.decoder.layer_norm", ln)
+        m = re.match(r"enc_(\d+)$", name)
+        if m:
+            base = f"model.encoder.layers.{m[1]}"
+            sub = p[1]
+            if sub == "fusion":
+                fb = f"{base}.fusion_layer"
+                s2 = p[2]
+                table = {"qi": "vision_proj", "kt": "text_proj",
+                         "vt": "values_text_proj", "vi": "values_vision_proj",
+                         "oi": "out_vision_proj", "ot": "out_text_proj"}
+                if s2 in table:
+                    k = f"{fb}.attn.{table[s2]}." \
+                        f"{'weight' if ln == 'kernel' else 'bias'}"
+                    return t_linear(st[k]) if ln == "kernel" \
+                        else np.asarray(st[k])
+                if s2 == "ln_i":
+                    return lnorm(f"{fb}.layer_norm_vision", ln)
+                if s2 == "ln_t":
+                    return lnorm(f"{fb}.layer_norm_text", ln)
+                if s2 == "gamma_i":
+                    return np.asarray(st[f"{fb}.vision_param"])
+                if s2 == "gamma_t":
+                    return np.asarray(st[f"{fb}.text_param"])
+            if sub in ("tq", "tk", "tv", "to"):
+                return attn_qkvo(f"{base}.text_enhancer_layer.self_attn",
+                                 sub[1], ln)
+            if sub == "txt_ln":
+                return lnorm(f"{base}.text_enhancer_layer.layer_norm_before",
+                             ln)
+            if sub == "txt_ffn":
+                return ffn(f"{base}.text_enhancer_layer", p[2:], ln,
+                           names=("fc1", "fc2", "layer_norm_after"))
+            if sub == "deform":
+                return deform(f"{base}.deformable_layer.self_attn", p[2], ln)
+            if sub == "img_ln":
+                return lnorm(f"{base}.deformable_layer.self_attn_layer_norm",
+                             ln)
+            if sub == "img_ffn":
+                return ffn(f"{base}.deformable_layer", p[2:], ln)
+        m = re.match(r"dec_(\d+)$", name)
+        if m:
+            base = f"model.decoder.layers.{m[1]}"
+            sub = p[1]
+            if sub in ("sq", "sk", "sv", "so"):
+                return attn_qkvo(f"{base}.self_attn", sub[1], ln)
+            if sub == "ln_sa":
+                return lnorm(f"{base}.self_attn_layer_norm", ln)
+            if sub in ("cq", "ck", "cv", "co"):
+                return attn_qkvo(f"{base}.encoder_attn_text", sub[1], ln)
+            if sub == "ln_ta":
+                return lnorm(f"{base}.encoder_attn_text_layer_norm", ln)
+            if sub == "deform":
+                return deform(f"{base}.encoder_attn", p[2], ln)
+            if sub == "ln_da":
+                return lnorm(f"{base}.encoder_attn_layer_norm", ln)
+            if sub == "ffn":
+                return ffn(base, p[2:], ln)
+        raise KeyError(f"unmapped GDINO-HF param {'/'.join(p)}")
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            return {k: walk(v, path + (k,)) for k, v in node.items()}
+        p = [q for q in path if q != "params"]
+        val = np.asarray(leaf(p, node))
+        if tuple(val.shape) != tuple(np.shape(node)):
+            raise ValueError(f"{'/'.join(p)}: {val.shape} vs {np.shape(node)}")
+        return val
+
+    return walk(params, ())

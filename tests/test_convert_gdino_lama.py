@@ -77,8 +77,6 @@ def _inverse_src(tree, key_fn):
             src[key] = rng.standard_normal((o, i, h, w)).astype(np.float32)
         elif tf is t_fu_vec:
             src[key] = rng.standard_normal(leaf.shape).astype(np.float32)
-        elif key == "__logit_bias__":
-            src[key] = np.zeros(())
         elif key.endswith("cls_token"):
             src[key] = rng.standard_normal((1, 1) + leaf.shape).astype(np.float32)
         elif key.endswith("pos_embed"):

@@ -411,3 +411,66 @@ def test_vila_llava_matches_hf():
                   pixel_values=torch.from_numpy(px.transpose(0, 3, 1, 2)),
                   ).logits.numpy()
     np.testing.assert_allclose(got, want[:, -1], atol=5e-4, rtol=1e-3)
+
+
+def test_gdino_matches_hf():
+    """FULL GroundingDINO vs HF GroundingDinoForObjectDetection: Swin
+    backbone, BERT text tower with within-phrase masks + per-segment
+    positions, sine pos embeddings (temp 20 vision / 10000 text), fusion,
+    deformable attention, language-guided query selection, iterative box
+    refinement, unscaled contrastive logits."""
+    from transformers import (GroundingDinoConfig,
+                              GroundingDinoForObjectDetection,
+                              SwinConfig as HFSwinCfg,
+                              BertConfig as HFBertCfg)
+    from anyedit_tpu.models.gdino import GroundingDINO, GDINOConfig
+    from anyedit_tpu.models.swin import SwinConfig
+    from anyedit_tpu.models.bert import BertConfig
+    from anyedit_tpu.weights.convert import convert_gdino_hf
+
+    sw = HFSwinCfg(image_size=64, patch_size=4, embed_dim=16, depths=[1, 1],
+                   num_heads=[2, 2], window_size=4,
+                   hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+                   drop_path_rate=0.0, out_features=["stage1", "stage2"])
+    bt = HFBertCfg(vocab_size=1100, hidden_size=32, num_hidden_layers=1,
+                   num_attention_heads=2, intermediate_size=128,
+                   max_position_embeddings=32, type_vocab_size=2,
+                   hidden_dropout_prob=0.0,
+                   attention_probs_dropout_prob=0.0)
+    cfg = GroundingDinoConfig(
+        backbone_config=sw, text_config=bt, d_model=32,
+        encoder_layers=1, decoder_layers=1, num_queries=12,
+        encoder_attention_heads=2, decoder_attention_heads=2,
+        encoder_ffn_dim=64, decoder_ffn_dim=64, num_feature_levels=2,
+        encoder_n_points=2, decoder_n_points=2, max_text_len=16,
+        dropout=0.0, activation_dropout=0.0, attention_dropout=0.0,
+        fusion_droppath=0.0, fusion_dropout=0.0, text_enhancer_dropout=0.0)
+    torch.manual_seed(17)
+    hf = GroundingDinoForObjectDetection(cfg).eval()
+
+    ours = GroundingDINO(GDINOConfig(
+        swin=SwinConfig(embed_dim=16, depths=(1, 1), heads=(2, 2), window=4,
+                        patch=4, out_indices=(0, 1), dtype=jnp.float32),
+        bert=BertConfig(vocab_size=1100, hidden=32, layers=1, heads=2,
+                        max_len=32, type_vocab=2, dtype=jnp.float32),
+        hidden=32, heads=2, enc_layers=1, dec_layers=1, num_queries=12,
+        num_levels=2, num_points=2, max_text_len=16, ffn_dim=64,
+        dtype=jnp.float32))
+
+    px = np.random.default_rng(18).standard_normal((1, 64, 64, 3)).astype(np.float32)
+    ids = np.array([[101, 5, 7, 1012, 9, 11, 1012, 102]], np.int64)
+    mask = np.ones_like(ids, bool)
+    tree = ours.init(jax.random.key(0), jnp.asarray(px),
+                     jnp.asarray(ids, jnp.int32), jnp.asarray(mask))
+    tree = {"params": convert_gdino_hf(tree["params"], _np_state(hf))}
+    logits, boxes = ours.apply(tree, jnp.asarray(px),
+                               jnp.asarray(ids, jnp.int32),
+                               jnp.asarray(mask))
+    with torch.no_grad():
+        out = hf(pixel_values=torch.from_numpy(px.transpose(0, 3, 1, 2)),
+                 input_ids=torch.from_numpy(ids),
+                 attention_mask=torch.from_numpy(np.ones_like(ids)))
+    np.testing.assert_allclose(np.asarray(boxes), out.pred_boxes.numpy(),
+                               atol=1e-4, rtol=1e-3)
+    want = out.logits.numpy()[..., :ids.shape[1]]
+    np.testing.assert_allclose(np.asarray(logits), want, atol=5e-4, rtol=1e-3)
