@@ -177,6 +177,12 @@ class SAMPromptEncoder(nn.Module):
                         (2, c.out_dim // 2), jnp.float32)
         corner_emb = self.param("corner_emb", nn.initializers.normal(1.0),
                                 (2, c.out_dim), jnp.float32)
+        # boxes-only prompts → the dense prompt embedding is the learned
+        # no-mask embedding broadcast over the grid, ADDED to the image
+        # embedding inside predict_masks (original mask_decoder.py
+        # `src = src + dense_prompt_embeddings`)
+        no_mask = self.param("no_mask_emb", nn.initializers.normal(1.0),
+                             (c.out_dim,), jnp.float32)
         b, n, _ = boxes.shape
         corners = boxes.reshape(b, n * 2, 2)  # (x1,y1),(x2,y2)
         coords = (corners + 0.5) / c.img_size
@@ -190,7 +196,7 @@ class SAMPromptEncoder(nn.Module):
         grid = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1)  # (h,w,2)
         gproj = (2.0 * grid - 1.0) @ pe * (2 * jnp.pi)
         dense = jnp.concatenate([jnp.sin(gproj), jnp.cos(gproj)], axis=-1)
-        return (emb + types).astype(jnp.float32), dense
+        return (emb + types).astype(jnp.float32), dense, no_mask
 
 
 # ---- mask decoder --------------------------------------------------------
@@ -331,9 +337,9 @@ class SAM(nn.Module):
     def decode_boxes(self, img_emb, boxes):
         """img_emb (B,h,w,C), boxes (B,N,4) → masks (B·N, nt, 4h, 4w), iou."""
         b, n = boxes.shape[0], boxes.shape[1]
-        prompts, pe = self.prompt(boxes)                   # (B, 2N, C), (h,w,C)
+        prompts, pe, no_mask = self.prompt(boxes)          # (B, 2N, C), (h,w,C)
         prompts = prompts.reshape(b * n, 2, self.cfg.out_dim)
-        img = jnp.repeat(img_emb, n, axis=0)
+        img = jnp.repeat(img_emb, n, axis=0) + no_mask.astype(img_emb.dtype)
         return self.decoder(img, pe, prompts)
 
     def __call__(self, pixels, boxes):

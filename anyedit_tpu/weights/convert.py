@@ -348,6 +348,9 @@ def _sam_key(path: tuple[str, ...]) -> tuple[str, "Callable"]:
             # box corners = point_embeddings 2 (top-left) and 3 (bottom-right);
             # converter callers stack them (see convert_sam docstring)
             return "prompt_encoder.box_corner_embeddings", t_id
+        if name == "no_mask_emb":
+            return ("prompt_encoder.no_mask_embed.weight",
+                    lambda w: np.asarray(w).reshape(-1))
     if tower == "decoder":
         b = "mask_decoder"
         if name == "iou_token":

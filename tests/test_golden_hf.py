@@ -474,3 +474,90 @@ def test_gdino_matches_hf():
                                atol=1e-4, rtol=1e-3)
     want = out.logits.numpy()[..., :ids.shape[1]]
     np.testing.assert_allclose(np.asarray(logits), want, atol=5e-4, rtol=1e-3)
+
+
+def _hf_sam_to_original(st):
+    """Rename HF SamModel keys to the original SAM checkpoint naming that
+    `convert_sam` consumes."""
+    import re
+    out = {}
+    for k, v in st.items():
+        k = k.replace("vision_encoder.", "image_encoder.")
+        k = k.replace("patch_embed.projection.", "patch_embed.proj.")
+        m = re.match(r"image_encoder\.layers\.(\d+)\.(.*)", k)
+        if m:
+            rest = m[2].replace("layer_norm1", "norm1").replace(
+                "layer_norm2", "norm2")
+            k = f"image_encoder.blocks.{m[1]}.{rest}"
+        k = k.replace("neck.conv1", "neck.0").replace(
+            "neck.layer_norm1", "neck.1").replace(
+            "neck.conv2", "neck.2").replace("neck.layer_norm2", "neck.3")
+        k = k.replace("prompt_encoder.shared_embedding.positional_embedding",
+                      "prompt_encoder.pe_layer."
+                      "positional_encoding_gaussian_matrix")
+        k = k.replace("prompt_encoder.point_embed.",
+                      "prompt_encoder.point_embeddings.")
+        k = re.sub(r"(transformer\.layers\.\d+\.)layer_norm(\d)",
+                   r"\1norm\2", k)
+        k = k.replace("transformer.layer_norm_final_attn",
+                      "transformer.norm_final_attn")
+        k = k.replace("upscale_conv1", "output_upscaling.0")
+        k = k.replace("upscale_layer_norm", "output_upscaling.1")
+        k = k.replace("upscale_conv2", "output_upscaling.3")
+        # 3-layer MLP heads: HF (proj_in, layers.0, proj_out) → original
+        # layers.(0,1,2). Shift the hidden layer FIRST, then the projs.
+        head = r"((?:output_hypernetworks_mlps\.\d+|iou_prediction_head))"
+        k = re.sub(head + r"\.layers\.0\.", r"\1.layers.1.", k)
+        k = re.sub(head + r"\.proj_in\.", r"\1.layers.0.", k)
+        k = re.sub(head + r"\.proj_out\.", r"\1.layers.2.", k)
+        out[k] = v
+    return out
+
+
+def test_sam_matches_hf():
+    """Full SAM (vision encoder + box prompt encoder + two-way mask
+    decoder incl. the no-mask dense embedding) vs HF SamModel."""
+    import re
+    from transformers import SamModel, SamConfig
+    from transformers.models.sam.configuration_sam import (
+        SamVisionConfig, SamPromptEncoderConfig, SamMaskDecoderConfig)
+    from anyedit_tpu.models.sam import SAM, SAMConfig
+    from anyedit_tpu.weights.convert import convert_sam
+
+    vc = SamVisionConfig(hidden_size=32, num_hidden_layers=2,
+                         num_attention_heads=2, image_size=64, patch_size=8,
+                         window_size=4, global_attn_indexes=[1],
+                         output_channels=16, mlp_dim=128, num_pos_feats=8)
+    pc = SamPromptEncoderConfig(hidden_size=16, image_embedding_size=8,
+                                image_size=64, patch_size=8)
+    mc = SamMaskDecoderConfig(hidden_size=16, num_hidden_layers=2,
+                              num_attention_heads=2, mlp_dim=128,
+                              iou_head_depth=3, iou_head_hidden_dim=16)
+    cfg = SamConfig(vision_config=vc.to_dict(),
+                    prompt_encoder_config=pc.to_dict(),
+                    mask_decoder_config=mc.to_dict())
+    torch.manual_seed(19)
+    hf = SamModel(cfg).eval()
+
+    ours = SAM(SAMConfig(img_size=64, patch=8, enc_dim=32, enc_depth=2,
+                         enc_heads=2, window=4, global_attn_idx=(1,),
+                         out_dim=16, dec_depth=2, dec_heads=2,
+                         dtype=jnp.float32))
+    px = np.random.default_rng(20).standard_normal((1, 64, 64, 3)).astype(np.float32)
+    boxes = np.array([[[8.0, 12.0, 40.0, 52.0]]], np.float32)   # (1,1,4)
+    tree = ours.init(jax.random.key(0), jnp.asarray(px), jnp.asarray(boxes))
+    st = _hf_sam_to_original(_np_state(hf))
+    st["prompt_encoder.box_corner_embeddings"] = np.stack(
+        [st["prompt_encoder.point_embeddings.2.weight"][0],
+         st["prompt_encoder.point_embeddings.3.weight"][0]])
+    tree = {"params": convert_sam(tree["params"], st)}
+    masks, iou = ours.apply(tree, jnp.asarray(px), jnp.asarray(boxes))
+    with torch.no_grad():
+        out = hf(pixel_values=torch.from_numpy(px.transpose(0, 3, 1, 2)),
+                 input_boxes=torch.from_numpy(boxes.astype(np.float64)))
+    want_masks = out.pred_masks.numpy()[0]          # (N, 3, 4h, 4w)
+    want_iou = out.iou_scores.numpy()[0]            # (N, 3)
+    np.testing.assert_allclose(np.asarray(masks)[:, 1:4], want_masks,
+                               atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(iou)[:, 1:4], want_iou,
+                               atol=5e-4, rtol=1e-3)

@@ -138,7 +138,10 @@ def test_sam_converter_roundtrip():
         else:
             key, tf = _sam_key(path)
             assert key not in hf, f"duplicate {key}"
-            hf[key] = inv[id(tf)](np.asarray(node))
+            if key == "prompt_encoder.no_mask_embed.weight":
+                hf[key] = np.asarray(node)[None]       # (C,) ← (1,C)
+            else:
+                hf[key] = inv[id(tf)](np.asarray(node))
 
     walk(jax.tree.map(np.asarray, tree), ())
     assert "image_encoder.pos_embed" in hf
