@@ -99,11 +99,15 @@ class DinoV2(nn.Module):
                          (n + 1, c.dim), jnp.float32)
         x = x + pos[None].astype(c.dtype)
         layers = {}
+        ln_f = LayerNorm(dtype=c.dtype, eps=1e-6, name="ln_final")
         for i in range(c.depth):
             x = DinoBlock(c, name=f"block_{i}")(x)
             if i in self.return_layers:
-                layers[i] = x[:, 1:].astype(jnp.float32)
-        x = LayerNorm(dtype=c.dtype, eps=1e-6, name="ln_final")(x)
+                # intermediate features carry the FINAL norm (official
+                # get_intermediate_layers(norm=True) / HF apply_layernorm —
+                # what DepthAnything's DPT head consumes)
+                layers[i] = ln_f(x[:, 1:]).astype(jnp.float32)
+        x = ln_f(x)
         return {"cls": x[:, 0].astype(jnp.float32),
                 "patch": x[:, 1:].astype(jnp.float32),
                 "layers": layers}

@@ -561,3 +561,94 @@ def test_sam_matches_hf():
                                atol=1e-3, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(iou)[:, 1:4], want_iou,
                                atol=5e-4, rtol=1e-3)
+
+
+def test_depth_anything_matches_hf():
+    """DepthAnythingV2 (DINOv2 backbone + DPT neck/fusion head) vs HF
+    DepthAnythingForDepthEstimation: validates ln-normed intermediate
+    features, reassemble projections/resizes, RefineNet fusion order, and
+    the output head."""
+    import re
+    from transformers import (DepthAnythingConfig,
+                              DepthAnythingForDepthEstimation, Dinov2Config)
+    from anyedit_tpu.models.depth import DepthAnythingV2, DPTConfig
+    from anyedit_tpu.models.dinov2 import DinoV2Config
+    from anyedit_tpu.weights.convert import convert_depth_anything
+
+    bb = Dinov2Config(hidden_size=32, num_hidden_layers=4,
+                      num_attention_heads=2, intermediate_size=128,
+                      image_size=56, patch_size=14, layerscale_value=1e-5,
+                      hidden_act="gelu", attention_probs_dropout_prob=0.0,
+                      hidden_dropout_prob=0.0, drop_path_rate=0.0,
+                      out_indices=[1, 2, 3, 4], apply_layernorm=True,
+                      reshape_hidden_states=False)
+    cfg = DepthAnythingConfig(backbone_config=bb, fusion_hidden_size=16,
+                              reassemble_hidden_size=32,
+                              neck_hidden_sizes=[8, 8, 16, 16],
+                              reassemble_factors=[4, 2, 1, 0.5],
+                              patch_size=14, head_hidden_size=32,
+                              head_in_index=-1)
+    torch.manual_seed(21)
+    hf = DepthAnythingForDepthEstimation(cfg).eval()
+
+    ours = DepthAnythingV2(DPTConfig(
+        backbone=DinoV2Config(img_size=56, patch=14, dim=32, depth=4,
+                              heads=2, dtype=jnp.float32),
+        take_layers=(0, 1, 2, 3), out_channels=(8, 8, 16, 16),
+        feat_dim=16, dtype=jnp.float32))
+
+    # HF split q/k/v → official fused qkv; HF names → official DA-V2 names
+    st = _np_state(hf)
+    out = {}
+    for k, v in st.items():
+        if ".attention.attention." in k:
+            continue                       # fused below
+        k2 = k
+        k2 = k2.replace("backbone.embeddings.cls_token",
+                        "pretrained.cls_token")
+        k2 = k2.replace("backbone.embeddings.position_embeddings",
+                        "pretrained.pos_embed")
+        k2 = k2.replace("backbone.embeddings.patch_embeddings.projection",
+                        "pretrained.patch_embed.proj")
+        k2 = re.sub(r"backbone\.encoder\.layer\.(\d+)\.",
+                    r"pretrained.blocks.\1.", k2)
+        k2 = k2.replace(".attention.output.dense", ".attn.proj")
+        k2 = k2.replace(".layer_scale1.lambda1", ".ls1.gamma")
+        k2 = k2.replace(".layer_scale2.lambda1", ".ls2.gamma")
+        k2 = k2.replace("backbone.layernorm", "pretrained.norm")
+        m = re.match(r"neck\.reassemble_stage\.layers\.(\d+)\.projection\.(.*)", k2)
+        if m:
+            k2 = f"depth_head.projects.{m[1]}.{m[2]}"
+        m = re.match(r"neck\.reassemble_stage\.layers\.(\d+)\.resize\.(.*)", k2)
+        if m:
+            k2 = f"depth_head.resize_layers.{m[1]}.{m[2]}"
+        m = re.match(r"neck\.convs\.(\d+)\.(.*)", k2)
+        if m:
+            k2 = f"depth_head.scratch.layer{int(m[1]) + 1}_rn.{m[2]}"
+        m = re.match(r"neck\.fusion_stage\.layers\.(\d+)\.(.*)", k2)
+        if m:
+            rn = 4 - int(m[1])             # fusion[0] = coarsest = refinenet4
+            rest = m[2].replace("residual_layer1", "resConfUnit1") \
+                       .replace("residual_layer2", "resConfUnit2") \
+                       .replace("convolution1", "conv1") \
+                       .replace("convolution2", "conv2") \
+                       .replace("projection", "out_conv")
+            k2 = f"depth_head.scratch.refinenet{rn}.{rest}"
+        k2 = k2.replace("head.conv1", "depth_head.scratch.output_conv1")
+        k2 = k2.replace("head.conv2", "depth_head.scratch.output_conv2.0")
+        k2 = k2.replace("head.conv3", "depth_head.scratch.output_conv2.2")
+        out[k2] = v
+    for i in range(4):
+        pre = f"backbone.encoder.layer.{i}.attention.attention"
+        for suf in ("weight", "bias"):
+            out[f"pretrained.blocks.{i}.attn.qkv.{suf}"] = np.concatenate(
+                [st[f"{pre}.{n}.{suf}"] for n in ("query", "key", "value")], 0)
+
+    px = np.random.default_rng(22).standard_normal((1, 56, 56, 3)).astype(np.float32)
+    tree = ours.init(jax.random.key(0), jnp.asarray(px))
+    tree = {"params": convert_depth_anything(tree["params"], out)}
+    got = np.asarray(ours.apply(tree, jnp.asarray(px)))
+    with torch.no_grad():
+        want = hf(pixel_values=torch.from_numpy(px.transpose(0, 3, 1, 2))
+                  ).predicted_depth.numpy()
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
