@@ -119,6 +119,7 @@ class FactoryExecutor:
         self.pre_scorer = pre_scorer or self._default_pre_scorer
         self.post_scorer = post_scorer or self._default_post_scorer
         self._gcache: dict = {}
+        self._ccache: dict = {}    # id(image) → batched CLIP image embed
         if self.cfg.grounding_batch and self.tb.ground is not None:
             self._wrap_ground()
 
@@ -146,7 +147,11 @@ class FactoryExecutor:
         h, w = image.shape[:2]
         s = PreScores(width=w, height=h)
         if self.tb.clip_image is not None and self.tb.clip_text is not None:
-            ie = np.asarray(self.tb.clip_image(image))
+            ie = self._ccache.get(id(image))
+            if ie is None:
+                ie = np.asarray(self.tb.clip_image(image))
+            else:
+                ie = np.asarray(ie)
             te = np.asarray(self.tb.clip_text(rec.input))
             s.clip = float((ie * te).sum(-1).squeeze())
         aesthetic = self.tb.extra.get("aesthetic")
@@ -176,7 +181,9 @@ class FactoryExecutor:
             # directional CLIP (utils.py:284-301)
             from anyedit_tpu.filters.scorers import directional_clip_score
             src_img = outcome.input_image if outcome.input_image is not None else image
-            ie_s = np.asarray(self.tb.clip_image(src_img))
+            ie_s = self._ccache.get(id(src_img))
+            ie_s = np.asarray(ie_s) if ie_s is not None \
+                else np.asarray(self.tb.clip_image(src_img))
             te_s = np.asarray(self.tb.clip_text(rec.input))
             s.dir_clip = float(np.asarray(directional_clip_score(
                 ie_s, ie_t, te_s, te_t)).squeeze())
@@ -312,6 +319,15 @@ class FactoryExecutor:
                     count_ks=[t[3] for t in todo], bucket=bucket)
             for (img, phrase, mode, ck), g in zip(todo, results):
                 self._gcache[(id(img), phrase, mode, ck)] = g
+        # ONE CLIP tower forward for the whole chunk's pre-scoring
+        clip_batch = getattr(self.tb.clip_image, "batch", None) \
+            if self.tb.clip_image is not None else None
+        if clip_batch is not None and self.cfg.run_pre_filter and loaded:
+            imgs = list(loaded.values())
+            with self.timer.stage("clip_batch"):
+                zs = clip_batch(imgs, bucket=bucket)
+            for img, z in zip(imgs, zs):
+                self._ccache[id(img)] = z
         for idx, rec in chunk:
             if rec.key() not in loaded:
                 continue
@@ -322,6 +338,7 @@ class FactoryExecutor:
                             {"error": f"{type(e).__name__}: {e}",
                              "trace": traceback.format_exc(limit=3)})
         self._gcache.clear()
+        self._ccache.clear()
 
     def _run_one(self, rec: InstructionRecord, load_image, ledger: RunLedger,
                  out_root: Path) -> None:

@@ -819,13 +819,27 @@ class ModelZoo:
             tp = load_params(tm, (ids,), self._wf("clip_text_proj"), self.seed)
             tfn = jax.jit(lambda ids: tm.apply(tp, ids))
 
-            def clip_image(image_u8):
+            def _prep(image_u8):
                 px = resize_image(jnp.asarray(image_u8, jnp.float32) / 255.0,
                                   c.vision.image_size, c.vision.image_size,
                                   "bilinear")
-                px = imagenet_normalize(px)[None]
-                _, z = vfn(px)
+                return imagenet_normalize(px)
+
+            def clip_image(image_u8):
+                _, z = vfn(_prep(image_u8)[None])
                 return z
+
+            def clip_image_batch(images, bucket: int = 8):
+                """ONE tower forward for a record chunk (executor
+                clip_batch stage); bucket-padded for stable jit shapes."""
+                n = len(images)
+                b = max(bucket, n)
+                px = jnp.stack([_prep(images[min(i, n - 1)])
+                                for i in range(b)])
+                _, z = vfn(px)
+                return [z[i:i + 1] for i in range(n)]
+
+            clip_image.batch = clip_image_batch
 
             def clip_text(text: str):
                 return tfn(jnp.asarray(self._clip_ids(text, c.text.max_len)))

@@ -122,3 +122,42 @@ def test_executor_saves_visual_input_channel(tmp_path):
     vis = list((tmp_path / "visual_input").glob("*.png"))
     assert len(vis) == 1
     assert rec.visual_input == vis[0].name
+
+
+def test_executor_batched_clip_scoring(tmp_path):
+    """In grounding_batch mode, pre-score CLIP image embeddings come from
+    ONE batched tower forward per chunk (clip_batch stage) and equal the
+    per-record embeddings."""
+    recs = _records(4)
+    tb = make_toolbox()
+    single_calls = {"n": 0}
+
+    def clip_image(image_u8):
+        single_calls["n"] += 1
+        return np.asarray([np.float32(image_u8.mean()) / 255.0,
+                           np.float32(1.0)])[None]
+
+    def clip_image_batch(images, bucket=8):
+        return [np.asarray([np.float32(i.mean()) / 255.0,
+                            np.float32(1.0)])[None] for i in images]
+
+    clip_image.batch = clip_image_batch
+    tb.clip_image = clip_image
+    tb.clip_text = lambda s: np.asarray([[0.5, 0.5]], np.float32)
+    real_ground = tb.ground
+
+    def g(image, phrase, mode="merge", count_k=None):
+        return real_ground(image, phrase, mode=mode, count_k=count_k)
+
+    g.batch = lambda images, phrases, modes=None, count_ks=None, bucket=8: [
+        real_ground(i, p, mode=m, count_k=k) for i, p, m, k in
+        zip(images, phrases, modes or ["merge"] * len(images),
+            count_ks or [None] * len(images))]
+    tb.ground = g
+    ex = FactoryExecutor(tb, ExecutorConfig(
+        output_root=str(tmp_path), grounding_batch=4))
+    rep = ex.run(recs, _loader)
+    assert "clip_batch" in rep["stages"]
+    # pre-score + post-score source embeds come from the chunk cache;
+    # only the EDITED images (3 successes) need live tower calls
+    assert single_calls["n"] == 3
