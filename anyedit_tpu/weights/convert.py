@@ -272,8 +272,31 @@ def convert_clip_text(our_tree, hf_state: Mapping[str, Any]):
 # ---- IO ------------------------------------------------------------------
 
 def load_torch_state(path: str | Path) -> dict[str, np.ndarray]:
-    """Load a .safetensors or torch .bin/.ckpt file into numpy."""
+    """Load a checkpoint into numpy: a single .safetensors / torch
+    .bin/.ckpt file, a HF `*.index.json` shard index, or a directory of
+    shards (model-0000X-of-0000N.safetensors — how Llama-8B / T5-XXL /
+    Flux ship)."""
     path = Path(path)
+    if path.name.endswith(".index.json"):
+        import json
+        wm = json.loads(path.read_text())["weight_map"]
+        out: dict[str, np.ndarray] = {}
+        for shard in sorted(set(wm.values())):
+            out.update(load_torch_state(path.parent / shard))
+        return out
+    if path.is_dir():
+        idx = sorted(path.glob("*.index.json"))
+        if idx:
+            return load_torch_state(idx[0])
+        files = sorted(path.glob("*.safetensors")) or \
+            sorted(path.glob("*.bin")) or sorted(path.glob("*.pth")) or \
+            sorted(path.glob("*.ckpt"))
+        if not files:
+            raise FileNotFoundError(f"no checkpoint files under {path}")
+        out = {}
+        for f in files:
+            out.update(load_torch_state(f))
+        return out
     if path.suffix == ".safetensors":
         from safetensors.numpy import load_file
         return dict(load_file(str(path)))

@@ -193,3 +193,22 @@ def test_sdxl_unet_converter_roundtrip():
     out = convert_unet_sdxl(tree, hf, n_levels=n_levels)
     chex = __import__("chex")
     chex.assert_trees_all_close(out, jax.tree.map(np.asarray, tree))
+
+
+def test_load_torch_state_sharded(tmp_path):
+    """HF sharded checkpoints: directory of shards + *.index.json merge."""
+    from safetensors.numpy import save_file
+    from anyedit_tpu.weights.convert import load_torch_state
+    import json
+
+    a = {"layer.0.weight": np.ones((2, 2), np.float32)}
+    b = {"layer.1.weight": np.full((3,), 2.0, np.float32)}
+    save_file(a, str(tmp_path / "model-00001-of-00002.safetensors"))
+    save_file(b, str(tmp_path / "model-00002-of-00002.safetensors"))
+    (tmp_path / "model.safetensors.index.json").write_text(json.dumps({
+        "weight_map": {"layer.0.weight": "model-00001-of-00002.safetensors",
+                       "layer.1.weight": "model-00002-of-00002.safetensors"}}))
+    for src in (tmp_path, tmp_path / "model.safetensors.index.json"):
+        st = load_torch_state(src)
+        assert set(st) == {"layer.0.weight", "layer.1.weight"}
+        np.testing.assert_array_equal(st["layer.1.weight"], b["layer.1.weight"])
