@@ -52,7 +52,14 @@ def draw_bbox(image: np.ndarray, boxes: np.ndarray, valid: np.ndarray,
 
 def visual_condition(tb: Toolbox, rec: InstructionRecord, image: np.ndarray,
                      rng: np.random.Generator) -> EditOutcome:
-    """Derive the visual_input channel for one of the visual_* types."""
+    """Derive the visual_input channel for one of the visual_* types.
+
+    SCHEMA NOTE: for these types `edited == image` BY DESIGN — the
+    reference's data layout (visual_condition_tool.py:33-164) uses the
+    original image as the *edited* target and ships the derived condition
+    map as the extra `visual_input` channel (the trainee model learns to
+    reproduce the image from the condition). Exporters must keep all three
+    files; the pair is NOT a mislabeled identity edit."""
     vtype = rec.edit_type
     if vtype in ("visual_sketch",):
         vis = np.asarray(canny(rgb_to_gray(jnp.asarray(image))))
