@@ -5,7 +5,12 @@ Measures the grounding front door (GroundingDINO SwinB @ 384px + SAM ViT-H
 (the only airtight method on tunneled backends — see bench.py). Random
 weights; throughput is weight-independent.
 
-Usage: python tools/bench_stages.py [batch]
+Stages run SAM/LaMa first and print incrementally. The full 900-query
+GroundingDINO program exceeds this environment's tunneled remote-compile
+service (the compile hangs) — it only runs with `--all` and is expected
+to work on a directly-attached TPU host.
+
+Usage: python tools/bench_stages.py [batch] [--all]
 """
 
 import sys
@@ -32,72 +37,92 @@ def chain(f, x0, n_it=10):
     return (time.perf_counter() - t0) / n_it * 1e3
 
 
+def stage(rows, name, fn):
+    try:
+        rows.append(fn())
+    except Exception as e:
+        rows.append((name, 0, float("nan"), float("nan")))
+        print(f"[{name}] SKIPPED: {type(e).__name__}", file=sys.stderr)
+    if rows:
+        n, bb, ms, ips = rows[-1]
+        print(f"{n:24} {bb:>5} {ms:>9.1f} {ips:>9.1f}", flush=True)
+
+
 def main():
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     rows = []
 
     # GroundingDINO SwinB @ 384 (the canonical grounding bucket)
-    from anyedit_tpu.models.gdino import GroundingDINO, GDINO_SWINB
-    import dataclasses
-    cfg = GDINO_SWINB
-    m = GroundingDINO(cfg)
-    px = jax.random.normal(jax.random.key(0), (b, 384, 384, 3), jnp.float32)
-    ids = jnp.zeros((b, cfg.max_text_len), jnp.int32)
-    mask = jnp.ones((b, cfg.max_text_len), bool)
-    params = jax.jit(m.init)(jax.random.key(0), px, ids, mask)
-    fwd = jax.jit(lambda x: m.apply(params, x, ids, mask)[1])
+    def run_gdino():
+        from anyedit_tpu.models.gdino import GroundingDINO, GDINO_SWINB
+        cfg = GDINO_SWINB
+        m = GroundingDINO(cfg)
+        px = jax.random.normal(jax.random.key(0), (b, 384, 384, 3),
+                               jnp.float32)
+        ids = jnp.zeros((b, cfg.max_text_len), jnp.int32)
+        mask = jnp.ones((b, cfg.max_text_len), bool)
+        params = jax.jit(m.init)(jax.random.key(0), px, ids, mask)
+        fwd = jax.jit(lambda x: m.apply(params, x, ids, mask)[1])
 
-    def g(x):
-        boxes = fwd(x)
-        # feed box stats back into pixels → data-dependent chain
-        return x + jnp.mean(boxes).astype(x.dtype) * 0e-9 + \
-            jnp.sum(boxes[0, 0]) * 1e-12
+        def g(x):
+            boxes = fwd(x)
+            return x + jnp.sum(boxes[0, 0]) * 1e-12
 
-    ms = chain(g, px)
-    rows.append(("gdino_swinb_384", b, ms, b / ms * 1000))
+        ms = chain(g, px)
+        return ("gdino_swinb_384", b, ms, b / ms * 1000)
 
     # SAM ViT-H encoder @ 1024 (once per image) + box decode
-    from anyedit_tpu.models.sam import SAM, SAM_VIT_H
-    sm = SAM(SAM_VIT_H)
-    spx = jax.random.normal(jax.random.key(1), (1, 1024, 1024, 3), jnp.float32)
-    boxes = jnp.asarray([[[100.0, 100.0, 600.0, 600.0]]])
-    sp = jax.jit(sm.init)(jax.random.key(0), spx, boxes)
-    enc = jax.jit(lambda x: sm.apply(sp, x, method=SAM.encode))
+    def run_sam():
+        from anyedit_tpu.models.sam import SAM, SAM_VIT_H
+        sm = SAM(SAM_VIT_H)
+        spx = jax.random.normal(jax.random.key(1), (1, 1024, 1024, 3),
+                                jnp.float32)
+        boxes = jnp.asarray([[[100.0, 100.0, 600.0, 600.0]]])
+        sp = jax.jit(sm.init)(jax.random.key(0), spx, boxes)
+        enc = jax.jit(lambda x: sm.apply(sp, x, method=SAM.encode))
 
-    def gs(x):
-        e = enc(x)
-        return x + jnp.mean(e).astype(x.dtype) * 1e-12
+        def gs(x):
+            e = enc(x)
+            return x + jnp.mean(e).astype(x.dtype) * 1e-12
 
-    ms = chain(gs, spx, n_it=5)
-    rows.append(("sam_vith_encode_1024", 1, ms, 1000 / ms))
+        ms = chain(gs, spx, n_it=5)
+        rows.append(("sam_vith_encode_1024", 1, ms, 1000 / ms))
+        emb = sm.apply(sp, spx, method=SAM.encode)
+        dec = jax.jit(lambda e: sm.apply(sp, e, boxes,
+                                         method=SAM.decode_boxes)[0])
 
-    emb = sm.apply(sp, spx, method=SAM.encode)
-    dec = jax.jit(lambda e: sm.apply(sp, e, boxes, method=SAM.decode_boxes)[0])
+        def gd(e):
+            mk = dec(e)
+            return e + jnp.mean(mk).astype(e.dtype) * 1e-12
 
-    def gd(e):
-        mk = dec(e)
-        return e + jnp.mean(mk).astype(e.dtype) * 1e-12
-
-    ms = chain(gd, emb, n_it=10)
-    rows.append(("sam_decode_per_box", 1, ms, 1000 / ms))
+        ms = chain(gd, emb, n_it=10)
+        return ("sam_decode_per_box", 1, ms, 1000 / ms)
 
     # LaMa @ 512 (the remove/erase inpainter)
-    from anyedit_tpu.models.lama import LaMa, BIG_LAMA
-    lm = LaMa(BIG_LAMA)
-    lpx = jax.random.normal(jax.random.key(2), (b, 512, 512, 4), jnp.float32)
-    lp = jax.jit(lm.init)(jax.random.key(0), lpx)
-    lf = jax.jit(lambda x: lm.apply(lp, x))
+    def run_lama():
+        from anyedit_tpu.models.lama import LamaGenerator, BIG_LAMA
+        lm = LamaGenerator(BIG_LAMA)
+        lpx = jax.random.normal(jax.random.key(2), (b, 512, 512, 3),
+                                jnp.float32)
+        msk = jnp.zeros((b, 512, 512, 1), jnp.float32).at[:, 128:384,
+                                                          128:384].set(1.0)
+        lp = jax.jit(lm.init)(jax.random.key(0), lpx, msk)
+        lf = jax.jit(lambda x: lm.apply(lp, x, msk))
 
-    def gl(x):
-        o = lf(x)
-        return jnp.concatenate([o, x[..., 3:]], axis=-1)
+        def gl(x):
+            return lf(x)
 
-    ms = chain(gl, lpx, n_it=5)
-    rows.append(("lama_512", b, ms, b / ms * 1000))
+        ms = chain(gl, lpx, n_it=5)
+        return ("lama_512", b, ms, b / ms * 1000)
 
-    print(f"{'stage':24} {'batch':>5} {'ms/call':>9} {'items/s':>9}")
-    for name, bb, ms, ips in rows:
-        print(f"{name:24} {bb:>5} {ms:>9.1f} {ips:>9.1f}")
+    print(f"{'stage':24} {'batch':>5} {'ms/call':>9} {'items/s':>9}",
+          flush=True)
+    stage(rows, "lama_512", run_lama)
+    if "--all" in sys.argv:
+        # the ViT-H @1024 and 900-query GDINO programs exceed the tunneled
+        # remote-compile service in this environment; run on a direct host
+        stage(rows, "sam_vith_1024", run_sam)
+        stage(rows, "gdino_swinb_384", run_gdino)
 
 
 if __name__ == "__main__":
