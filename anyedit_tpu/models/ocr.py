@@ -83,6 +83,18 @@ class GotOCR(nn.Module):
         n_img = image_tokens.shape[1]
         return self.lm.forward_embeds(emb)[:, n_img:]
 
+    def lm_logits_chat(self, image_tokens, prefix_ids, ids):
+        """GOT chat layout: [prefix ⊕ image tokens ⊕ ids] — image features
+        sit where HF places the <imgpad> run, between <img>…</img> inside
+        the user turn (GotOcr2Processor prompt). Returns logits aligned to
+        `ids` (slot i predicts ids[i+1]); `ids` = suffix prompt + answer."""
+        emb = jnp.concatenate(
+            [self.lm.embed(prefix_ids),
+             image_tokens.astype(self.cfg.lm.dtype),
+             self.lm.embed(ids)], 1)
+        n_skip = prefix_ids.shape[1] + image_tokens.shape[1]
+        return self.lm.forward_embeds(emb)[:, n_skip:]
+
     def __call__(self, pixels, ids):
         """Full forward (golden-parity entry): logits over the combined
         [image ⊕ ids] sequence, (B, N_img+L, V)."""
@@ -93,16 +105,30 @@ class GotOCR(nn.Module):
 
 
 def greedy_decode(apply_fn: Callable, image_tokens, max_tokens: int,
-                  eos_id: int = 1) -> np.ndarray:
+                  eos_id: int = 1,
+                  prompt_ids: "list[int] | None" = None,
+                  stop_ids: "frozenset[int] | None" = None) -> np.ndarray:
     """Greedy autoregressive ids (fixed-length loop: static shapes, one
     compile). apply_fn(image_tokens, ids) → logits (B,L,V), slot i
-    predicting ids[i+1]."""
+    predicting ids[i+1].
+
+    `prompt_ids` seeds the id buffer (generation starts after it);
+    `stop_ids` short-circuits the host loop once every row has stopped
+    (output past a stop id is garbage — detokenizers cut at eos)."""
     b = image_tokens.shape[0]
-    ids = np.zeros((b, max_tokens), np.int32)      # <pad> BOS convention
-    for i in range(max_tokens - 1):
+    p = list(prompt_ids) if prompt_ids else [0]    # <pad>-BOS convention
+    total = len(p) + max_tokens
+    ids = np.zeros((b, total), np.int32)
+    ids[:, :len(p)] = np.asarray(p, np.int32)
+    stops = stop_ids or frozenset({eos_id})
+    done = np.zeros((b,), bool)
+    for i in range(len(p) - 1, total - 1):
         logits = apply_fn(image_tokens, jnp.asarray(ids))
         nxt = np.asarray(jnp.argmax(logits[:, i], axis=-1))
         ids[:, i + 1] = nxt
+        done |= np.isin(nxt, list(stops))
+        if done.all():
+            break
     return ids
 
 

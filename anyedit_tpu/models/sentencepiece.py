@@ -95,7 +95,17 @@ class SentencePieceModel:
         return self._index.get(piece, self.unk_id)
 
     def encode(self, text: str, add_eos: bool = True) -> list[int]:
-        """Viterbi unigram segmentation of SentencePiece-normalized text."""
+        """Viterbi unigram segmentation of SentencePiece-normalized text.
+
+        Normalization follows T5's `nmt_nfkc` + remove_extra_whitespaces:
+        NFKC, then collapse any whitespace run (tabs/newlines included) to
+        one space — otherwise ids diverge from HF T5TokenizerFast for
+        prompts containing newlines, double spaces, or unicode punctuation.
+        """
+        import re
+        import unicodedata
+        text = unicodedata.normalize("NFKC", text)
+        text = re.sub(r"\s+", " ", text)
         s = _SPACE + text.strip().replace(" ", _SPACE)
         n = len(s)
         # best[i] = (score, backpointer, piece_id) for prefix s[:i]

@@ -182,9 +182,44 @@ def flash_nomax(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
 
 def _on_tpu() -> bool:
     try:
-        return jax.default_backend() not in ("cpu",)
+        return jax.default_backend() == "tpu"
     except Exception:
         return False
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _self_attn_flash(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                     scale: float) -> jnp.ndarray:
+    """Differentiable wrapper over the max-free Pallas kernel.
+
+    pallas_call has no reverse-mode AD rule, and the AnySD trainer
+    (train/anysd.py value_and_grad) differentiates through the UNet's
+    level-0 self-attention — so the fast path needs an explicit VJP.
+    Forward: flash_nomax (pad D→128 lanes). Backward: recompute via the
+    XLA sdpa (identical math; fp32 softmax both ways), i.e. a standard
+    recompute-based backward — no residuals kept beyond q/k/v.
+    """
+    b, h, lq, d = q.shape
+    dp = _ceil_to(d, _LANES)
+    pad = ((0, 0), (0, 0), (0, dp - d))
+    qf = jnp.pad(q.reshape(b * h, lq, d), pad)
+    kf = jnp.pad(k.reshape(b * h, lq, d), pad)
+    vf = jnp.pad(v.reshape(b * h, lq, d), pad)
+    out = flash_nomax(qf, kf, vf, scale=scale)
+    return out[..., :d].reshape(b, h, lq, d)
+
+
+def _self_attn_flash_fwd(q, k, v, scale):
+    return _self_attn_flash(q, k, v, scale), (q, k, v)
+
+
+def _self_attn_flash_bwd(scale, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda a, b, c: sdpa_xla(a, b, c, scale=scale), q, k, v)
+    return vjp(g)
+
+
+_self_attn_flash.defvjp(_self_attn_flash_fwd, _self_attn_flash_bwd)
 
 
 def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -207,13 +242,7 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if use_flash is None and not interpret:
         if (lq == lkv and lq >= 1024 and lq % 512 == 0 and d <= 128
                 and _on_tpu()):
-            dp = _ceil_to(d, _LANES)
-            pad = ((0, 0), (0, 0), (0, dp - d))
-            qf = jnp.pad(q.reshape(b * h, lq, d), pad)
-            kf = jnp.pad(k.reshape(b * h, lkv, d), pad)
-            vf = jnp.pad(v.reshape(b * h, lkv, d), pad)
-            out = flash_nomax(qf, kf, vf, scale=scale)
-            return out[..., :d].reshape(b, h, lq, d)
+            return _self_attn_flash(q, k, v, scale)
         use_flash = False
     if not use_flash:
         return sdpa_xla(q, k, v, scale=scale)

@@ -511,15 +511,26 @@ class ModelZoo:
                                  image_guidance_scale=s_img, mask=mask,
                                  init_latents=init)
 
-            def edit_batch(images, instructions, masks=None, steps=50,
-                           s_txt=8.0, s_img=0.9, seeds=None):
+            def _tail_bucket(m: int) -> int:
+                """Smallest dp-divisible power-of-two slice of bkt that fits
+                m records — tail chunks compile a (cached) smaller program
+                instead of burning (bkt-m)/bkt of the batch on padding."""
+                b = bkt
+                while b // 2 >= max(m, ndp) and (b // 2) % ndp == 0:
+                    b //= 2
+                return b
+
+            stats = {"real": 0, "padded": 0}
+
+            def _run_chunk(images, instructions, masks, seeds, steps,
+                           s_txt, s_img):
                 n = len(images)
-                assert len(instructions) == n
-                masks = list(masks) if masks is not None else [None] * n
-                seeds = list(seeds) if seeds is not None else list(range(n))
+                b = _tail_bucket(n)
+                stats["real"] += n
+                stats["padded"] += b - n
                 px, conds, ms, inits = [], [], [], []
                 any_mask = any(m is not None for m in masks)
-                for i in range(bkt):
+                for i in range(b):
                     j = min(i, n - 1)             # pad bucket with last rec
                     img = resize_image(jnp.asarray(images[j], jnp.float32),
                                        size, size, "lanczos")
@@ -561,6 +572,22 @@ class ModelZoo:
                         u8.astype(jnp.float32), h, w,
                         "lanczos").astype(jnp.uint8)))
                 return res
+
+            def edit_batch(images, instructions, masks=None, steps=50,
+                           s_txt=8.0, s_img=0.9, seeds=None):
+                n = len(images)
+                assert len(instructions) == n
+                masks = list(masks) if masks is not None else [None] * n
+                seeds = list(seeds) if seeds is not None else list(range(n))
+                res = []
+                for s in range(0, n, bkt):        # chunk: any n is legal
+                    e = min(s + bkt, n)
+                    res.extend(_run_chunk(images[s:e], instructions[s:e],
+                                          masks[s:e], seeds[s:e],
+                                          steps, s_txt, s_img))
+                return res
+
+            edit_batch.stats = stats              # padded-vs-real accounting
             return edit_batch
         return self._get(f"ip2p_batch_{id(mesh)}_{bucket}", build)
 
@@ -1443,11 +1470,18 @@ class ModelZoo:
         """image_u8 → recognized text (GOT-OCR2 contract, utils.py:43-49).
         Real GOT architecture (SAM-ViT-B tower → conv projector → Qwen2
         LM, HF-golden-parity — models/ocr.py); one 'ocr' weights slot
-        holds the whole checkpoint. Without converted weights the random
-        reader emits stable placeholder pieces, so the textual gate fails
-        closed — install the slot only when weights exist (it is
-        deliberately NOT in SLOTS_FOR_EDIT_TYPE for that reason)."""
+        holds the whole checkpoint.
+
+        With Qwen2 tokenizer assets in weights_dir (got_tokenizer.json or
+        qwen_vocab.json+qwen_merges.txt — models/bpe.py), the reader builds
+        the byte-exact GOT chat prompt and decodes with the real vocabulary
+        and eos ids (<|im_end|> 151645 / <|endoftext|> 151643), so converted
+        real weights produce comparable text. Without assets the random
+        reader emits stable placeholder pieces and the textual gate fails
+        closed — it is deliberately NOT in SLOTS_FOR_EDIT_TYPE."""
         def build():
+            from anyedit_tpu.models.bpe import (
+                ENDOFTEXT, IM_END, Qwen2Tokenizer, got_prompt_ids)
             from anyedit_tpu.models.ocr import (
                 GotOCR, greedy_decode, detokenize_ids)
 
@@ -1460,13 +1494,33 @@ class ModelZoo:
                                  self.seed)
             encode = jax.jit(lambda px: model.apply(
                 params, px, method=GotOCR.encode_image))
-            fn = jax.jit(lambda it, ids: model.apply(
-                params, it, ids, method=GotOCR.lm_logits))
+
+            qtok = Qwen2Tokenizer.from_dir(self.weights) if self.weights \
+                else None
+            if qtok is not None:
+                prefix, suffix = got_prompt_ids(qtok)
+                pre = jnp.asarray([prefix], jnp.int32)
+                fn = jax.jit(lambda it, ids: model.apply(
+                    params, it, pre, ids, method=GotOCR.lm_logits_chat))
+            else:
+                suffix = None
+                fn = jax.jit(lambda it, ids: model.apply(
+                    params, it, ids, method=GotOCR.lm_logits))
 
             def read(image_u8) -> str:
                 px = resize_image(jnp.asarray(image_u8, jnp.float32) / 255.0,
                                   s, s, "bilinear")
                 toks = encode(imagenet_normalize(px)[None])
+                if qtok is not None:
+                    out_ids = greedy_decode(
+                        fn, toks, ocr_cfg.max_tokens, prompt_ids=suffix,
+                        stop_ids=frozenset({IM_END, ENDOFTEXT}))
+                    ans = out_ids[0][len(suffix):]
+                    cut = [int(t) for t in ans]
+                    for stop in (IM_END, ENDOFTEXT):
+                        if stop in cut:
+                            cut = cut[:cut.index(stop)]
+                    return qtok.decode(cut).strip()
                 out_ids = greedy_decode(fn, toks, ocr_cfg.max_tokens)
                 return detokenize_ids(out_ids[0], lambda i: f"▁t{i}")
             return read

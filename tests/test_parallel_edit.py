@@ -77,3 +77,30 @@ def test_single_device_batching(zoo):
     outs = zoo.ip2p_batch_fn(mesh=None, bucket=4)(
         _images(2), ["a", "b"], steps=1)
     assert len(outs) == 2 and outs[0].dtype == np.uint8
+
+
+def test_batch_larger_than_bucket_chunks(zoo):
+    """n > bucket must chunk internally (round-2 advisory: the old code
+    raised IndexError past the bucket), and tail chunks use a smaller
+    compiled bucket with padded-vs-real accounting."""
+    batched = zoo.ip2p_batch_fn(mesh=None, bucket=2)
+    imgs = _images(5)
+    r0, p0 = batched.stats["real"], batched.stats["padded"]
+    outs = batched(imgs, [f"edit {i}" for i in range(5)], steps=1)
+    assert len(outs) == 5
+    for o, im in zip(outs, imgs):
+        assert o.shape == im.shape and o.dtype == np.uint8
+    # chunks: 2+2+1 → tail runs in a bucket-1 program, zero padding
+    assert batched.stats["real"] - r0 == 5
+    assert batched.stats["padded"] - p0 == 0
+
+
+def test_tail_bucket_respects_dp(zoo):
+    mesh = make_mesh(MeshSpec(dp=8), devices=jax.devices()[:8])
+    batched = zoo.ip2p_batch_fn(mesh=mesh, bucket=8)
+    r0, p0 = batched.stats["real"], batched.stats["padded"]
+    outs = batched(_images(3), ["a", "b", "c"], steps=1)
+    assert len(outs) == 3
+    # dp=8 floor: tail cannot shrink below the mesh's dp extent
+    assert batched.stats["real"] - r0 == 3
+    assert batched.stats["padded"] - p0 == 5

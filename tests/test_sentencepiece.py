@@ -77,3 +77,17 @@ def test_zoo_t5_ids_fallback_without_model():
     ids = zoo._t5_ids("a cat", 8)
     assert ids.shape == (1, 8)
     assert ids.dtype == np.int32
+
+
+def test_nfkc_and_whitespace_normalization(tmp_path):
+    """T5's nmt_nfkc + remove_extra_whitespaces: newlines/tabs/double
+    spaces collapse to one space, unicode compat chars fold (ﬁ → fi) —
+    ids must match the plain-space encoding (round-2 advisory)."""
+    sp = _toy_model(tmp_path, BASE + [
+        ("▁a", -1.0), ("▁cat", -1.0), ("▁fi", -1.0), ("n", -1.5)],
+        BASE_T + [1] * 4)
+    want = sp.encode("a cat")
+    assert sp.encode("a\ncat") == want
+    assert sp.encode("a\t cat") == want
+    assert sp.encode("a  cat") == want
+    assert sp.encode("ﬁn") == sp.encode("fin")
