@@ -85,11 +85,18 @@ def sample_img2img(eps_fn: EpsFn, ns: NoiseSchedule,
                    cond_text: jnp.ndarray, uncond_text: jnp.ndarray,
                    key: jax.Array, num_steps: int = 50,
                    strength: float = 0.5,
-                   guidance_scale: float = 7.5) -> jnp.ndarray:
+                   guidance_scale: float = 7.5,
+                   mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """SDEdit-style img2img: noise the input latents to the `strength`
     fraction of the schedule, then denoise the remaining steps with 2-way
     CFG (the implicit pipeline's SDXL img2img refine stage,
-    implicit_tool.py:129-148 semantics). strength must be static under jit."""
+    implicit_tool.py:129-148 semantics). strength must be static under jit.
+
+    mask: optional (B,h,w,1) latent-resolution float mask, 1 = repaint. With
+    a mask + strength≈1 this is the 4-channel SDXL-inpaint loop
+    (StableDiffusionXLInpaintPipeline on the base model: per-step composite
+    of the denoised latents with the re-noised original outside the mask —
+    implicit_tool.py:96-127 stage-2 semantics)."""
     st = ddim_init(ns, num_steps)
     n_run = max(1, min(num_steps, int(round(num_steps * strength))))
     i0 = num_steps - n_run
@@ -97,6 +104,8 @@ def sample_img2img(eps_fn: EpsFn, ns: NoiseSchedule,
     lat = add_noise(ns, image_latents, noise, st.timesteps[i0])
     ctx = jnp.concatenate([cond_text, uncond_text], axis=0)
     b = image_latents.shape[0]
+    renoise = jax.random.normal(jax.random.fold_in(key, 1),
+                                image_latents.shape, jnp.float32)
 
     def body(i, lat):
         t = st.timesteps[i]
@@ -104,6 +113,15 @@ def sample_img2img(eps_fn: EpsFn, ns: NoiseSchedule,
         eps2 = eps_fn(lat2, jnp.full((2 * b,), t), ctx)
         e_c, e_u = jnp.split(eps2, 2, axis=0)
         eps = e_u + guidance_scale * (e_c - e_u)
-        return ddim_step(ns, st, i, eps, lat)
+        lat = ddim_step(ns, st, i, eps, lat)
+        if mask is not None:
+            t_next = jnp.where(i + 1 < num_steps,
+                               st.timesteps[jnp.minimum(i + 1, num_steps - 1)],
+                               0)
+            ren = jnp.where(i + 1 < num_steps,
+                            add_noise(ns, image_latents, renoise, t_next),
+                            image_latents)
+            lat = mask * lat + (1.0 - mask) * ren
+        return lat
 
     return jax.lax.fori_loop(i0, num_steps, body, lat)

@@ -28,10 +28,13 @@ def implicit_change(tb: Toolbox, rec: InstructionRecord, image: np.ndarray,
     """Needs toolbox extras:
       p2p_pair(ori_caption, tar_caption, keyword, seed)
           → (ori_img, tar_img, keyword_mask)
+      sdxl_inpaint(image, mask01, prompt, seed) → image  (stage 2)
       sdxl_img2img(image, prompt, strength, seed) → image
-      canny_consistency(image, prompt, seed) → image  (IP-Adapter+CN pass)
+      canny_consistency(image, prompt, seed, ref_image=, mask01=) → image
+          (IP-Adapter+CN pass)
     """
     p2p_pair = tb.extra.get("p2p_pair")
+    inpaint = tb.extra.get("sdxl_inpaint")
     img2img = tb.extra.get("sdxl_img2img")
     consistency = tb.extra.get("canny_consistency")
     if p2p_pair is None:
@@ -43,10 +46,18 @@ def implicit_change(tb: Toolbox, rec: InstructionRecord, image: np.ndarray,
     for cand in range(n_candidates):
         seed = int(rng.integers(0, 2 ** 31)) + cand
         ori, tar, mask = p2p_pair(rec.input, rec.output, keyword, seed)
+        if inpaint is not None and mask is not None:
+            # Stage 2 (implicit_tool.py:96-127): regenerate BOTH sides from
+            # the stage-1 ori image inside the keyword mask — prompt=ori
+            # caption gives the clean source, prompt=tar caption the change.
+            ori_s1 = ori
+            ori = np.asarray(inpaint(ori_s1, mask, rec.input, seed))
+            tar = np.asarray(inpaint(ori_s1, mask, rec.output, seed + 1))
         if img2img is not None:
             tar = np.asarray(img2img(tar, rec.output, 0.5, seed))
         if consistency is not None:
-            tar = np.asarray(consistency(tar, rec.output, seed))
+            tar = np.asarray(consistency(tar, rec.output, seed,
+                                         ref_image=ori, mask01=mask))
         score = 0.0
         if tb.clip_image is not None and tb.clip_text is not None:
             ie = np.asarray(tb.clip_image(tar))

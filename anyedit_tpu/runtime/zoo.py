@@ -1131,6 +1131,52 @@ class ModelZoo:
             return img2img
         return self._get("img2img", build)
 
+    def sdxl_inpaint_fn(self):
+        """Implicit stage 2 (implicit_tool.py:96-127): SDXL-base masked
+        inpaint — regenerate inside the keyword mask, per-step compositing
+        with the re-noised original outside it (the diffusers
+        StableDiffusionXLInpaintPipeline-on-base-model semantics; the
+        reference runs it twice, prompt=ori_text then prompt=tar_text, from
+        the SAME stage-1 image+mask)."""
+        def build():
+            import functools
+            from anyedit_tpu.diffusion.sampling import sample_img2img
+
+            c = self.cfg
+            unet, params = self._refine_unet()
+            vname = "sdxl_vae" if c.refine_unet.addition_embed_dim else "vae"
+            vcfg = c.sdxl_vae if c.refine_unet.addition_embed_dim else c.vae
+            enc, dec = self._vae_named(vname, vcfg)
+            ns = make_noise_schedule()
+            hw = c.canvas.edit_size // c.canvas.latent_down
+
+            @functools.partial(jax.jit,
+                               static_argnames=("steps", "strength"))
+            def run(params, lat, m, ctx2, pooled2, tid2, k, steps, strength,
+                    scale):
+                def eps_fn(x, t, c_):
+                    kw = {} if pooled2 is None else dict(pooled_text=pooled2,
+                                                         time_ids=tid2)
+                    return unet.apply(params, x, t, c_, **kw)
+                return sample_img2img(eps_fn, ns, lat, ctx2[:1], ctx2[1:],
+                                      k, num_steps=steps, strength=strength,
+                                      guidance_scale=scale, mask=m)
+
+            def inpaint(image_u8, mask01, prompt, seed=0, steps=30,
+                        strength=0.98, scale=7.5):
+                lat = self._to_latents(image_u8, enc, vcfg.scaling_factor)
+                mh = resize_image(jnp.asarray(mask01, jnp.float32)[..., None],
+                                  hw, hw, "bilinear")
+                m = (mh > 0.25).astype(jnp.float32)[None]
+                ctx2, pooled2, tid2 = self._xl_cond(prompt)
+                out = run(params, lat, m, ctx2, pooled2, tid2,
+                          jax.random.key(seed), steps,
+                          round(float(strength), 3), scale)
+                return self._from_latents(out, dec, vcfg.scaling_factor,
+                                          image_u8.shape[:2])
+            return inpaint
+        return self._get("sdxl_inpaint", build)
+
     def _control_unet(self, hint_channels: int, cache: str, wname: str):
         """ControlNet branch on the refine UNet config."""
         def build():
@@ -1197,7 +1243,7 @@ class ModelZoo:
 
             @functools.partial(jax.jit,
                                static_argnames=("steps", "strength"))
-            def run(params, cn_params, lat, hint2, ctx2, pooled2, tid2,
+            def run(params, cn_params, lat, mask, hint2, ctx2, pooled2, tid2,
                     site_kv2, k, steps, strength, scale):
                 from anyedit_tpu.diffusion.sampling import sample_img2img
                 proc = ip_adapter_processor(site_kv2)
@@ -1211,24 +1257,36 @@ class ModelZoo:
                                       controlnet_mid=mid, **kw)
                 return sample_img2img(eps_fn, ns, lat, ctx2[:1], ctx2[1:], k,
                                       num_steps=steps, strength=strength,
-                                      guidance_scale=scale)
+                                      guidance_scale=scale, mask=mask)
 
             def consistency(image_u8, prompt, seed=0, steps=30,
-                            strength=0.6, scale=7.5):
+                            strength=0.6, scale=7.5, ref_image=None,
+                            mask01=None):
+                """ref_image: IP-Adapter conditioning image (the reference
+                passes pil_image=ori_img, implicit_tool.py:115-121 —
+                defaults to the candidate itself). mask01: optional (H,W)
+                repaint mask (mask_image=ori_mask there)."""
                 lat = self._to_latents(image_u8, enc, vcfg.scaling_factor)
+                m = None
+                if mask01 is not None:
+                    mh = resize_image(
+                        jnp.asarray(mask01, jnp.float32)[..., None],
+                        hw, hw, "bilinear")
+                    m = (mh > 0.25).astype(jnp.float32)[None]
                 edges = self.canny_fn(image_u8).astype(np.float32)
                 hint = resize_image(jnp.asarray(edges)[..., None],
                                     hw * 8, hw * 8, "bilinear") / 255.0
                 hint2 = jnp.tile(jnp.tile(hint[None], (1, 1, 1, 3)), (2, 1, 1, 1))
                 ctx2, pooled2, tid2 = self._xl_cond(prompt)
-                kv_c = site_kv_fn(image_u8)
-                kv_u = site_kv_fn(image_u8, uncond=True)
+                ipimg = image_u8 if ref_image is None else ref_image
+                kv_c = site_kv_fn(ipimg)
+                kv_u = site_kv_fn(ipimg, uncond=True)
                 site_kv2 = {n: (jnp.concatenate([kc, ku], 0),
                                 jnp.concatenate([vc, vu], 0))
                             for (n, (kc, vc)), (ku, vu)
                             in zip(kv_c.items(), kv_u.values())}
-                out = run(params, cn_params, lat, hint2, ctx2, pooled2, tid2,
-                          site_kv2, jax.random.key(seed), steps,
+                out = run(params, cn_params, lat, m, hint2, ctx2, pooled2,
+                          tid2, site_kv2, jax.random.key(seed), steps,
                           round(float(strength), 3), scale)
                 return self._from_latents(out, dec, vcfg.scaling_factor,
                                           image_u8.shape[:2])
@@ -1609,6 +1667,8 @@ class ModelZoo:
             tb.extra["anydoor"] = self.anydoor()
         elif slot == "sdxl_img2img":
             tb.extra["sdxl_img2img"] = self.img2img_fn()
+        elif slot == "sdxl_inpaint":
+            tb.extra["sdxl_inpaint"] = self.sdxl_inpaint_fn()
         elif slot == "canny_consistency":
             tb.extra["canny_consistency"] = self.canny_consistency_fn()
         elif slot == "sdxl_material":
@@ -1647,8 +1707,8 @@ SLOTS_FOR_EDIT_TYPE: dict[str, tuple[str, ...]] = {
     "action_change": ("masactrl",),
     "resize": (), "movement": (), "relation": (), "outpainting": (),
     "textual_change": ("flux_pair",),
-    "implicit_change": ("p2p_pair", "sdxl_img2img", "canny_consistency",
-                        "clip"),
+    "implicit_change": ("p2p_pair", "sdxl_inpaint", "sdxl_img2img",
+                        "canny_consistency", "clip"),
     "style_change": (),
     "rotation_change": (),
     "composition": ("composition",),

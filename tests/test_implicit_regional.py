@@ -54,6 +54,40 @@ def test_implicit_pipeline_best_of_n():
     assert out.edited.mean() > 50
 
 
+def test_sdxl_inpaint_stage2_mask_semantics():
+    """Implicit stage 2 (implicit_tool.py:96-127): per-step compositing must
+    keep everything outside the mask at the VAE roundtrip of the input
+    EXACTLY (last-step composite uses the un-noised original latents), and
+    repaint inside a full mask."""
+    from anyedit_tpu.cli import tiny_zoo_config
+    from anyedit_tpu.runtime.zoo import ModelZoo
+
+    zoo = ModelZoo(tiny_zoo_config())
+    inpaint = zoo.toolbox(with_diffusion=False,
+                          slots=("sdxl_inpaint",)).extra["sdxl_inpaint"]
+    size = zoo.cfg.canvas.edit_size
+    img = np.random.default_rng(3).integers(0, 255, (size, size, 3),
+                                            np.uint8)
+
+    out0 = np.asarray(inpaint(img, np.zeros((size, size), np.float32),
+                              "a scene", seed=0, steps=4))
+    vname = "sdxl_vae" if zoo.cfg.refine_unet.addition_embed_dim else "vae"
+    vcfg = (zoo.cfg.sdxl_vae if zoo.cfg.refine_unet.addition_embed_dim
+            else zoo.cfg.vae)
+    enc, dec = zoo._vae_named(vname, vcfg)
+    roundtrip = zoo._from_latents(
+        zoo._to_latents(img, enc, vcfg.scaling_factor),
+        dec, vcfg.scaling_factor, img.shape[:2])
+    np.testing.assert_allclose(out0.astype(np.int32),
+                               np.asarray(roundtrip).astype(np.int32),
+                               atol=2)
+
+    out1 = np.asarray(inpaint(img, np.ones((size, size), np.float32),
+                              "a scene", seed=0, steps=4))
+    assert out1.shape == img.shape
+    assert np.abs(out1.astype(np.int32) - out0.astype(np.int32)).mean() > 1.0
+
+
 def test_style_change_pipeline():
     tb = make_toolbox()
     img = scene_with_red_square()
