@@ -97,7 +97,8 @@ def cmd_run(args) -> int:
         return 1
 
     zoo_cfg = tiny_zoo_config() if args.tiny else ZooConfig()
-    zoo = ModelZoo(zoo_cfg, weights_dir=args.weights, seed=args.seed)
+    zoo = ModelZoo(zoo_cfg, weights_dir=args.weights, seed=args.seed,
+                   require_weights=args.require_weights)
 
     from anyedit_tpu.runtime.zoo import SLOTS_FOR_EDIT_TYPE
     types = {r.edit_type for r in records}
@@ -169,9 +170,7 @@ def cmd_train(args) -> int:
 
     from anyedit_tpu.core.mesh import MeshSpec, make_mesh
     from anyedit_tpu.models.clip import (
-        CLIPTextEncoder, CLIPVisionEncoder, TINY_TEXT, TINY_VISION,
-        CLIP_L_TEXT, CLIP_L_VISION)
-    from anyedit_tpu.models.clip_tokenizer import SimpleClipTokenizer
+        TINY_TEXT, TINY_VISION, CLIP_L_TEXT, CLIP_L_VISION)
     from anyedit_tpu.models.unet_sd import TINY_UNET, SD15_IP2P_UNET
     from anyedit_tpu.models.vae import AutoencoderKL, TINY_VAE, SD_VAE
     from anyedit_tpu.ops.resize import imagenet_normalize, resize_image
@@ -179,6 +178,7 @@ def cmd_train(args) -> int:
     from anyedit_tpu.train.checkpoint import TrainCheckpointer
     from anyedit_tpu.train.data import (
         MixtureSampler, examples_from_ledger, pixel_batches)
+    from anyedit_tpu.train.frozen import load_frozen_encoders
 
     if args.tiny:
         text_cfg = dataclasses.replace(TINY_TEXT, vocab_size=49408,
@@ -197,16 +197,18 @@ def cmd_train(args) -> int:
                       image_embed_dim=vis_cfg.proj_dim)
     trainer = AnySDTrainer(cfg, learning_rate=args.lr)
 
-    # frozen encoders (train.py:414-418 freezes VAE/text/image encoders)
+    # frozen encoders (train.py:414-418 freezes VAE/text/image encoders) —
+    # converted .msgpack weights when --weights-dir is given, fail-loud per
+    # slot with --require-weights; random init only for hermetic runs.
     key = jax.random.key(args.seed)
-    vae = AutoencoderKL(vae_cfg)
-    text = CLIPTextEncoder(text_cfg)
-    vision = CLIPVisionEncoder(vis_cfg)
     res = args.resolution
-    vae_p = vae.init(key, jnp.zeros((1, res, res, 3)))
-    text_p = text.init(key, jnp.zeros((1, text_cfg.max_len), jnp.int32))
-    vis_p = vision.init(key, jnp.zeros((1, vis_cfg.image_size,
-                                        vis_cfg.image_size, 3)))
+    frozen = load_frozen_encoders(
+        vae_cfg, text_cfg, vis_cfg, weights_dir=args.weights_dir,
+        require=args.require_weights, seed=args.seed, resolution=res,
+        allow_fallback_tokenizers=args.tiny)
+    vae, vae_p = frozen.vae, frozen.vae_params
+    text, text_p = frozen.text, frozen.text_params
+    vision, vis_p = frozen.vision, frozen.vision_params
     sf = vae_cfg.scaling_factor
 
     @jax.jit
@@ -226,6 +228,8 @@ def cmd_train(args) -> int:
     latent_hw = res // (2 ** (len(vae_cfg.block_channels) - 1))
     unet_p, adapter_p, opt_state = trainer.init(key, latent_hw=latent_hw,
                                                 text_len=text_cfg.max_len)
+    if frozen.unet_params is not None:
+        unet_p = frozen.unet_params   # converted IP2P UNet (stays frozen)
     # dp must divide the global batch; surplus devices go to tp/ep
     import math
     n_dev = jax.device_count()
@@ -261,7 +265,7 @@ def cmd_train(args) -> int:
         print("no trainable success records in ledger", file=sys.stderr)
         return 1
     sampler = MixtureSampler(examples, seed=args.seed)
-    tok = SimpleClipTokenizer(text_cfg.vocab_size)
+    tok = frozen.clip_tokenizer
 
     def tokenize(s):
         ids = tok.encode(s)[:text_cfg.max_len]
@@ -269,8 +273,62 @@ def cmd_train(args) -> int:
         arr[0, :len(ids)] = ids
         return arr
 
+    # validation grids (train.py:37-76 log_validation at every checkpoint
+    # interval): run the current adapter through the IP2P editor on a fixed
+    # set of ledger examples, save [orig | edited] contact sheets.
+    val_pairs = []
+    if args.val_count > 0:
+        from PIL import Image
+        from anyedit_tpu.train.validation import log_validation
+        from anyedit_tpu.train.anysd import expert_id
+        from anyedit_tpu.diffusion import ip2p_edit
+        import functools
+
+        for ex in examples[:args.val_count]:
+            im = np.asarray(Image.open(ex.input_file).convert("RGB")
+                            .resize((res, res)))
+            val_pairs.append((im, ex.record.edit, ex.record.edit_type))
+
+        @functools.partial(jax.jit, static_argnames=("steps",))
+        def _val_run(adapter_p, unet_p, lat_in, ids, emb, task, k, steps):
+            hidden, _ = text.apply(text_p, ids)
+            tok3 = trainer.adapter.apply(adapter_p, emb, task)
+            cond = jnp.concatenate([hidden, tok3.astype(hidden.dtype)], 1)
+            hid_u, _ = text.apply(text_p, jnp.zeros_like(ids))
+            uncond = jnp.concatenate([hid_u, tok3.astype(hidden.dtype)], 1)
+
+            def eps_fn(x, t, c_):
+                return trainer.unet.apply(unet_p, x, t, c_)
+            return ip2p_edit(eps_fn, trainer.ns, lat_in, cond, uncond, k,
+                             num_steps=steps, guidance_scale=7.5,
+                             image_guidance_scale=1.5)
+
+        def run_validation(step, adapter_p):
+            def edit_one(img_u8, instr_and_type):
+                instr, etype = instr_and_type
+                px = jnp.asarray(img_u8, jnp.float32)[None] / 127.5 - 1.0
+                m, _ = vae.apply(vae_p, px, method=type(vae).encode)
+                ids = jnp.asarray(tokenize(instr))
+                vpx = resize_image(px * 0.5 + 0.5, vis_cfg.image_size,
+                                   vis_cfg.image_size, "bilinear")
+                _, emb = vision.apply(vis_p, imagenet_normalize(vpx))
+                task = jnp.asarray([expert_id(etype)], jnp.int32)
+                out = _val_run(adapter_p, unet_p, m * sf, ids, emb, task,
+                               jax.random.key(args.seed), args.val_steps)
+                img = vae.apply(vae_p, (out / sf),
+                                method=type(vae).decode)[0]
+                return np.asarray(jnp.clip((img + 1) * 127.5, 0, 255)
+                                  ).astype(np.uint8)
+
+            path = log_validation(
+                lambda im, it: edit_one(im, it),
+                [(im, (instr, et)) for im, instr, et in val_pairs],
+                Path(args.checkpoint_dir) / "val", step)
+            print(json.dumps({"validation_grid": str(path), "step": step}))
+
     train_step = jax.jit(trainer.train_step)
     losses = []
+    last_val = -1
     bit = pixel_batches(sampler, args.batch_size, res,
                         args.steps - start_step, tokenize)
     for step, pixel in enumerate(bit, start=start_step):
@@ -284,7 +342,12 @@ def cmd_train(args) -> int:
             print(json.dumps({"step": step + 1, "loss": losses[-1]}))
         if (step + 1) % args.checkpoint_every == 0:
             ckpt.save(step + 1, adapter_p, opt_state)
+            if val_pairs:
+                run_validation(step + 1, adapter_p)
+                last_val = step + 1
     ckpt.save(args.steps, adapter_p, opt_state)
+    if val_pairs and last_val != args.steps:
+        run_validation(args.steps, adapter_p)
     ckpt.wait()
     ckpt.close()
     print(json.dumps({"final_step": args.steps,
@@ -334,6 +397,9 @@ def main(argv=None) -> int:
     pr.add_argument("--output", default="out")
     pr.add_argument("--weights", default=None,
                     help="dir of converted .msgpack checkpoints")
+    pr.add_argument("--require-weights", action="store_true",
+                    help="refuse to run any model slot without its "
+                         "converted .msgpack (no silent random init)")
     pr.add_argument("--seed", type=int, default=0)
     pr.add_argument("--profile-trace", default=None,
                     help="write a jax.profiler trace here")
@@ -360,6 +426,15 @@ def main(argv=None) -> int:
     pt.add_argument("--log-every", type=int, default=10)
     pt.add_argument("--resume", action="store_true")
     pt.add_argument("--tiny", action="store_true")
+    pt.add_argument("--weights-dir", default=None,
+                    help="dir of converted .msgpack frozen towers "
+                         "(vae/clip_text/clip_vision/unet_ip2p)")
+    pt.add_argument("--require-weights", action="store_true",
+                    help="error out if any frozen tower has no .msgpack")
+    pt.add_argument("--val-count", type=int, default=4,
+                    help="validation pairs per grid (0 disables grids)")
+    pt.add_argument("--val-steps", type=int, default=20,
+                    help="DDIM steps for validation edits")
     pt.set_defaults(fn=cmd_train)
 
     pc = sub.add_parser("convert", help="torch checkpoint → zoo msgpack")

@@ -104,12 +104,49 @@ class ZooConfig:
 
 
 def load_params(model, example_args: tuple, weight_file: Optional[Path],
-                seed: int = 0):
-    """msgpack checkpoint if present, else seeded random init."""
+                seed: int = 0, require: bool = False):
+    """msgpack checkpoint if present, else seeded random init.
+
+    require=True turns the silent fallback into a per-slot error — a typo'd
+    filename must not run a production model on random weights."""
     if weight_file is not None and Path(weight_file).exists():
         from flax.serialization import msgpack_restore
         return msgpack_restore(Path(weight_file).read_bytes())
+    if require:
+        raise FileNotFoundError(
+            f"required weights missing: {weight_file} "
+            f"(for {type(model).__name__}); convert the checkpoint first "
+            "(`anyedit_tpu convert`) or drop --require-weights")
     return jax.jit(model.init)(jax.random.key(seed), *example_args)
+
+
+def select_tokenizers(weights_dir: Optional[Path], clip_vocab_size: int,
+                      allow_fallback: bool = False):
+    """(WordPiece-or-hash, CLIP-BPE-or-hash) tokenizer pair for a weights
+    dir. Converted checkpoints are meaningless with the hash fallbacks —
+    fail loudly when weights exist but tokenizer assets don't."""
+    from anyedit_tpu.grounding.text import WordPieceTokenizer
+    from anyedit_tpu.models.clip_tokenizer import (
+        ClipBPETokenizer, SimpleClipTokenizer)
+    if weights_dir is None:
+        return SimpleVocabTokenizer(), SimpleClipTokenizer(clip_vocab_size)
+    weights_dir = Path(weights_dir)
+    vocab = weights_dir / "vocab.txt"
+    merges = next((p for p in (weights_dir / "bpe_simple_vocab_16e6.txt.gz",
+                               weights_dir / "clip_merges.txt.gz",
+                               weights_dir / "clip_merges.txt")
+                   if p.exists()), None)
+    if (not vocab.exists() or merges is None) and not allow_fallback:
+        raise FileNotFoundError(
+            f"weights_dir={weights_dir} is set but tokenizer assets "
+            "are missing (need vocab.txt for grounding WordPiece and "
+            "bpe_simple_vocab_16e6.txt.gz for CLIP BPE); converted "
+            "checkpoints would silently receive hash-bucket token "
+            "ids. Pass allow_fallback_tokenizers=True to override.")
+    word = WordPieceTokenizer(vocab) if vocab.exists() else SimpleVocabTokenizer()
+    clip = (ClipBPETokenizer(merges) if merges
+            else SimpleClipTokenizer(clip_vocab_size))
+    return word, clip
 
 
 class ModelZoo:
@@ -117,41 +154,34 @@ class ModelZoo:
 
     def __init__(self, cfg: ZooConfig | None = None,
                  weights_dir: str | Path | None = None, seed: int = 0,
-                 allow_fallback_tokenizers: bool = False):
+                 allow_fallback_tokenizers: bool = False,
+                 require_weights: bool = False):
         self.cfg = cfg or ZooConfig()
         self.weights = Path(weights_dir) if weights_dir else None
         self.seed = seed
+        self.require_weights = require_weights
+        if require_weights and self.weights is None:
+            raise ValueError("require_weights=True needs a weights_dir")
         self._cache: dict[str, Any] = {}
         # Tokenizer selection: converted checkpoints are meaningless with
         # the hash fallbacks (BERT WordPiece for grounding, CLIP BPE for the
         # text towers) — fail loudly when weights exist but assets don't.
-        from anyedit_tpu.grounding.text import WordPieceTokenizer
-        from anyedit_tpu.models.clip_tokenizer import (
-            ClipBPETokenizer, SimpleClipTokenizer)
-        if self.weights is not None:
-            vocab = self.weights / "vocab.txt"
-            merges = next((p for p in (self.weights / "bpe_simple_vocab_16e6.txt.gz",
-                                       self.weights / "clip_merges.txt.gz",
-                                       self.weights / "clip_merges.txt")
-                           if p.exists()), None)
-            if (not vocab.exists() or merges is None) \
-                    and not allow_fallback_tokenizers:
-                raise FileNotFoundError(
-                    f"weights_dir={self.weights} is set but tokenizer assets "
-                    "are missing (need vocab.txt for grounding WordPiece and "
-                    "bpe_simple_vocab_16e6.txt.gz for CLIP BPE); converted "
-                    "checkpoints would silently receive hash-bucket token "
-                    "ids. Pass allow_fallback_tokenizers=True to override.")
-            self.tokenizer = (WordPieceTokenizer(vocab) if vocab.exists()
-                              else SimpleVocabTokenizer())
-            self.clip_tokenizer = (ClipBPETokenizer(merges) if merges
-                                   else SimpleClipTokenizer(self.cfg.text.vocab_size))
-        else:
-            self.tokenizer = SimpleVocabTokenizer()
-            self.clip_tokenizer = SimpleClipTokenizer(self.cfg.text.vocab_size)
+        self.tokenizer, self.clip_tokenizer = select_tokenizers(
+            self.weights, self.cfg.text.vocab_size,
+            allow_fallback=allow_fallback_tokenizers)
 
     def _wf(self, name: str) -> Optional[Path]:
-        return (self.weights / f"{name}.msgpack") if self.weights else None
+        """Weight file for a slot. With require_weights every slot any build
+        touches must exist on disk — a missing msgpack raises instead of
+        silently random-initializing (optional-branch callers included)."""
+        if self.weights is None:
+            return None
+        wf = self.weights / f"{name}.msgpack"
+        if self.require_weights and not wf.exists():
+            raise FileNotFoundError(
+                f"required weights missing: {wf}; convert the checkpoint "
+                "first (`anyedit_tpu convert`) or drop --require-weights")
+        return wf
 
     def _get(self, name: str, build):
         if name not in self._cache:

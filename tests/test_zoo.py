@@ -71,3 +71,17 @@ def test_ip2p_editor_smoke(zoo):
 def test_toolbox_composition(zoo):
     tb = zoo.toolbox(with_diffusion=False)
     assert tb.ground is not None and tb.inpaint is not None
+
+
+def test_require_weights_fails_loud(tmp_path):
+    """--require-weights semantics: a missing per-slot msgpack raises
+    instead of silently random-initializing (zoo.py load_params/_wf)."""
+    (tmp_path / "vocab.txt").write_text("[PAD]\n[UNK]\n[CLS]\n[SEP]\na\n")
+    (tmp_path / "clip_merges.txt").write_text("#version: 0.2\n")
+    from anyedit_tpu.cli import tiny_zoo_config
+    z = ModelZoo(tiny_zoo_config(), weights_dir=tmp_path,
+                 require_weights=True)
+    with pytest.raises(FileNotFoundError, match="lama"):
+        z.inpainter()
+    with pytest.raises(ValueError, match="weights_dir"):
+        ModelZoo(tiny_zoo_config(), require_weights=True)
