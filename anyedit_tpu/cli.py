@@ -366,7 +366,7 @@ def cmd_convert(args) -> int:
             print(f"{k:16s} ← {hint}")
         return 0
     out = args.out or str(Path(args.weights_dir) / f"{args.model}.msgpack")
-    convert_checkpoint(args.model, args.src, out)
+    convert_checkpoint(args.model, args.src, out, verify=args.verify)
     print(f"wrote {out}")
     return 0
 
@@ -443,6 +443,10 @@ def main(argv=None) -> int:
     pc.add_argument("--out", default=None)
     pc.add_argument("--weights-dir", default="weights")
     pc.add_argument("--list", action="store_true")
+    pc.add_argument("--verify", action="store_true",
+                    help="run the torch source model vs the converted Flax "
+                         "model on a fixed input; refuse to write on "
+                         "mismatch (needs an HF model dir as --src)")
     pc.set_defaults(fn=cmd_convert)
 
     pe = sub.add_parser("export", help="ledger → reference-format JSONs")

@@ -377,9 +377,17 @@ REGISTRY: dict[str, tuple[str, Callable]] = {
 }
 
 
-def convert_checkpoint(name: str, src_path: str, out_path: str) -> None:
+def convert_checkpoint(name: str, src_path: str, out_path: str,
+                       verify: bool = False) -> None:
     if name not in REGISTRY:
         raise KeyError(f"unknown model {name!r}; have {sorted(REGISTRY)}")
+    if verify:
+        # Run the SOURCE torch module vs the converted Flax module on a
+        # fixed input BEFORE writing anything (weights/verify.py); raises
+        # on parity failure or unsupported family.
+        from anyedit_tpu.weights.verify import verify_conversion
+        err = verify_conversion(name, src_path)
+        print(f"verify {name}: max abs err {err:.3e} (parity OK)")
     src = C.load_torch_state(src_path)
     tree = REGISTRY[name][1](src)
     C.save_params(tree, out_path)

@@ -2201,3 +2201,98 @@ def convert_gdino_hf(our_tree, st: Mapping[str, Any]):
         return val
 
     return walk(params, ())
+
+
+# ---- HF-naming adapters for alternate checkpoint sources ----------------
+# The setup.sh checkpoints for SAM / DepthAnything ship in the ORIGINAL
+# repo naming that convert_sam / convert_depth_anything consume; these
+# renamers let the same converters (and `convert --verify`) ingest the HF
+# mirrors (facebook/sam-vit-huge, depth-anything/...-hf) too.
+
+def hf_sam_to_original(st: Mapping[str, Any]) -> dict:
+    """Rename HF SamModel keys to the original SAM checkpoint naming."""
+    import re
+    out = {}
+    for k, v in st.items():
+        k = k.replace("vision_encoder.", "image_encoder.")
+        k = k.replace("patch_embed.projection.", "patch_embed.proj.")
+        m = re.match(r"image_encoder\.layers\.(\d+)\.(.*)", k)
+        if m:
+            rest = m[2].replace("layer_norm1", "norm1").replace(
+                "layer_norm2", "norm2")
+            k = f"image_encoder.blocks.{m[1]}.{rest}"
+        k = k.replace("neck.conv1", "neck.0").replace(
+            "neck.layer_norm1", "neck.1").replace(
+            "neck.conv2", "neck.2").replace("neck.layer_norm2", "neck.3")
+        k = k.replace("prompt_encoder.shared_embedding.positional_embedding",
+                      "prompt_encoder.pe_layer."
+                      "positional_encoding_gaussian_matrix")
+        k = k.replace("prompt_encoder.point_embed.",
+                      "prompt_encoder.point_embeddings.")
+        k = re.sub(r"(transformer\.layers\.\d+\.)layer_norm(\d)",
+                   r"\1norm\2", k)
+        k = k.replace("transformer.layer_norm_final_attn",
+                      "transformer.norm_final_attn")
+        k = k.replace("upscale_conv1", "output_upscaling.0")
+        k = k.replace("upscale_layer_norm", "output_upscaling.1")
+        k = k.replace("upscale_conv2", "output_upscaling.3")
+        # 3-layer MLP heads: HF (proj_in, layers.0, proj_out) → original
+        # layers.(0,1,2). Shift the hidden layer FIRST, then the projs.
+        head = r"((?:output_hypernetworks_mlps\.\d+|iou_prediction_head))"
+        k = re.sub(head + r"\.layers\.0\.", r"\1.layers.1.", k)
+        k = re.sub(head + r"\.proj_in\.", r"\1.layers.0.", k)
+        k = re.sub(head + r"\.proj_out\.", r"\1.layers.2.", k)
+        out[k] = v
+    return out
+
+
+def hf_depth_to_official(st: Mapping[str, Any], n_layers: int) -> dict:
+    """Rename HF DepthAnythingForDepthEstimation keys (split q/k/v) to the
+    official DA-V2 naming (fused qkv) that convert_depth_anything consumes."""
+    import re
+    out = {}
+    for k, v in st.items():
+        if ".attention.attention." in k:
+            continue                       # fused below
+        k2 = k
+        k2 = k2.replace("backbone.embeddings.cls_token",
+                        "pretrained.cls_token")
+        k2 = k2.replace("backbone.embeddings.position_embeddings",
+                        "pretrained.pos_embed")
+        k2 = k2.replace("backbone.embeddings.patch_embeddings.projection",
+                        "pretrained.patch_embed.proj")
+        k2 = re.sub(r"backbone\.encoder\.layer\.(\d+)\.",
+                    r"pretrained.blocks.\1.", k2)
+        k2 = k2.replace(".attention.output.dense", ".attn.proj")
+        k2 = k2.replace(".layer_scale1.lambda1", ".ls1.gamma")
+        k2 = k2.replace(".layer_scale2.lambda1", ".ls2.gamma")
+        k2 = k2.replace("backbone.layernorm", "pretrained.norm")
+        m = re.match(r"neck\.reassemble_stage\.layers\.(\d+)\.projection\.(.*)", k2)
+        if m:
+            k2 = f"depth_head.projects.{m[1]}.{m[2]}"
+        m = re.match(r"neck\.reassemble_stage\.layers\.(\d+)\.resize\.(.*)", k2)
+        if m:
+            k2 = f"depth_head.resize_layers.{m[1]}.{m[2]}"
+        m = re.match(r"neck\.convs\.(\d+)\.(.*)", k2)
+        if m:
+            k2 = f"depth_head.scratch.layer{int(m[1]) + 1}_rn.{m[2]}"
+        m = re.match(r"neck\.fusion_stage\.layers\.(\d+)\.(.*)", k2)
+        if m:
+            rn = 4 - int(m[1])             # fusion[0] = coarsest = refinenet4
+            rest = m[2].replace("residual_layer1", "resConfUnit1") \
+                       .replace("residual_layer2", "resConfUnit2") \
+                       .replace("convolution1", "conv1") \
+                       .replace("convolution2", "conv2") \
+                       .replace("projection", "out_conv")
+            k2 = f"depth_head.scratch.refinenet{rn}.{rest}"
+        k2 = k2.replace("head.conv1", "depth_head.scratch.output_conv1")
+        k2 = k2.replace("head.conv2", "depth_head.scratch.output_conv2.0")
+        k2 = k2.replace("head.conv3", "depth_head.scratch.output_conv2.2")
+        out[k2] = v
+    for i in range(n_layers):
+        pre = f"backbone.encoder.layer.{i}.attention.attention"
+        for suf in ("weight", "bias"):
+            out[f"pretrained.blocks.{i}.attn.qkv.{suf}"] = np.concatenate(
+                [np.asarray(st[f"{pre}.{n}.{suf}"])
+                 for n in ("query", "key", "value")], 0)
+    return out

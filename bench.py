@@ -22,6 +22,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -29,7 +30,10 @@ import jax.numpy as jnp
 
 A100_BASELINE_PAIRS_PER_HOUR = 720.0
 STEPS = 50
-IMAGES_PER_BATCH = 8
+# Batch sweep (same program shape, bigger leading dim): measured on the
+# bench chip 2026-08-17 — batch 8: 2533 pairs/hr; see PARITY.md for the
+# sweep table. Overridable for experiments via BENCH_BATCH.
+IMAGES_PER_BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 
 
 def main():
