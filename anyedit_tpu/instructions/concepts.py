@@ -87,3 +87,85 @@ def build_concept_pool(concepts: Sequence[str],
     if llm is not None:
         pool = llm_concept_filter(pool, llm)
     return dedup_by_head_noun(pool)
+
+
+# ---- raw-text → concept candidates (fliter_noun.py semantics) -----------
+
+_PLURAL_RULES = (("ies", "y"), ("ches", "ch"), ("shes", "sh"), ("sses", "ss"),
+                 ("xes", "x"), ("zes", "z"), ("ves", "f"), ("s", ""))
+
+
+def _lemmatize(word: str) -> str:
+    """Rule-based singularization (the reference uses WordNetLemmatizer;
+    spacy/nltk are not in this environment — these rules cover the regular
+    English plural classes the concept pool actually contains)."""
+    if len(word) <= 3 or not word.endswith("s") or word.endswith("ss"):
+        return word
+    for suf, rep in _PLURAL_RULES:
+        if word.endswith(suf) and len(word) > len(suf) + 1:
+            return word[:-len(suf)] + rep
+    return word
+
+
+def filter_nouns(texts: Sequence[str],
+                 vocab: Optional[set[str]] = None) -> list[str]:
+    """Extract lowercase, lemmatized, non-proper-noun concept candidates
+    from raw caption text (concept/fliter_noun.py:30-48: spacy NOUN/PROPN
+    minus PERSON entities, NLTK english-vocab check, WordNet lemma).
+
+    Environment-adapted: proper nouns are dropped by the capitalized-
+    mid-sentence heuristic, and the english check runs against the caller's
+    `vocab` set (e.g. a wordlist file) when provided."""
+    import re
+    # corpus pass: which tokens ever appear uncapitalized? A capitalized
+    # token with no lowercase occurrence anywhere is treated as PROPN —
+    # covers sentence-initial names the mid-sentence rule can't see.
+    lowercase_seen: set[str] = set()
+    tokenized = []
+    for text in texts:
+        toks = re.findall(r"[A-Za-z][A-Za-z-]*", text)
+        tokenized.append(toks)
+        lowercase_seen.update(t for t in toks if t[0].islower())
+    out: list[str] = []
+    seen: set[str] = set()
+    for tokens in tokenized:
+        for i, tok in enumerate(tokens):
+            if tok[0].isupper() and (i > 0 or tok.lower()
+                                     not in lowercase_seen):
+                continue                      # capitalized ≈ PROPN
+            w = _lemmatize(tok.lower())
+            if len(w) < 3 or w in seen:
+                continue
+            if vocab is not None and w not in vocab:
+                continue
+            seen.add(w)
+            out.append(w)
+    return out
+
+
+# ---- concept pool structure (init_background.py / combine_json.py) ------
+
+def init_concept_pool(concepts: Sequence[str],
+                      backgrounds: Optional[dict] = None) -> dict:
+    """{concept: {'b': [deduped lowercase backgrounds], 'c': ''}} — the
+    pool record the instruction generators draw from
+    (concept/init_background.py:15-43: backgrounds lowercased, set-deduped,
+    only attached to concepts present in the pool)."""
+    pool = {c: {"b": [], "c": ""} for c in dict.fromkeys(concepts)}
+    for concept, bgs in (backgrounds or {}).items():
+        if concept in pool:
+            pool[concept]["b"] = sorted({b.lower() for b in bgs})
+    return pool
+
+
+def merge_concept_pools(*pools: dict) -> dict:
+    """Union pool shards (concept/combine_json.py semantics): backgrounds
+    set-union per concept; a non-empty caption 'c' wins over empty."""
+    out: dict = {}
+    for pool in pools:
+        for concept, rec in pool.items():
+            dst = out.setdefault(concept, {"b": [], "c": ""})
+            dst["b"] = sorted(set(dst["b"]) | set(rec.get("b", ())))
+            if not dst["c"] and rec.get("c"):
+                dst["c"] = rec["c"]
+    return out

@@ -37,6 +37,11 @@ class TemplateBackend:
             caption = m[-1] if m else "a scene"
             tags = generate_tags(caption)
             obj = tags["nouns"][0] if tags["nouns"] else "object"
+            if p.lstrip().startswith("Lay out a canvas"):
+                outs.append(f"global: {caption}\n"
+                            f"region: 0.1,0.2,0.6,0.9 | a {obj}\n"
+                            f"region: 0.6,0.0,1.0,0.5 | background detail")
+                continue
             outs.append(f"instruction: remove the {obj}\nobject: {obj}\n"
                         f"output: {caption.replace(obj, '').strip()}")
         return outs
@@ -63,6 +68,8 @@ class InstructionGenerator:
     def generate(self, edit_type: str, captions: Sequence[str],
                  batch_size: int = 16) -> list[InstructionRecord]:
         rng = random.Random(self.seed)
+        if edit_type == "composition":
+            return [self._composition_record(c, rng) for c in captions]
         records: list[InstructionRecord] = []
         for i in range(0, len(captions), batch_size):
             batch = captions[i:i + batch_size]
@@ -81,6 +88,33 @@ class InstructionGenerator:
                     edit=p["edit"], input=caption, output=p["output"],
                     edit_type=edit_type, edited_object=p["edited_object"]))
         return records
+
+    def _composition_record(self, caption: str,
+                            rng: random.Random) -> InstructionRecord:
+        plan = generate_canvas_plan(caption, self.llm, rng)
+        return InstructionRecord(
+            edit=f"compose: {caption}", input=caption, output=caption,
+            edit_type="composition", extras={"canvas_plan": plan})
+
+
+def generate_canvas_plan(caption: str, llm: LLMFn,
+                         rng: random.Random) -> str:
+    """Caption → Omost-style canvas plan text in the
+    `diffusion/regional.py::parse_canvas_plan` line format
+    (composition_image_generation.py:40-62 — the reference drives
+    Omost-llama-3-8b; here the harness LLM answers a few-shot prompt, and
+    an invalid answer falls back to a deterministic single-subject plan)."""
+    from anyedit_tpu.diffusion.regional import parse_canvas_plan
+    from anyedit_tpu.instructions.prompts import canvas_plan_prompt
+
+    raw = llm([canvas_plan_prompt(caption, rng)])[0]
+    g, regions = parse_canvas_plan(raw)
+    if g and regions:
+        return raw
+    tags = generate_tags(caption)
+    obj = tags["nouns"][0] if tags["nouns"] else "subject"
+    return (f"global: {caption}\n"
+            f"region: 0.2,0.2,0.8,0.9 | a {obj}")
 
 
 # ---- rule-based generators (other_instruction_gen.py:55-312) -------------

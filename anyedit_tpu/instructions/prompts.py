@@ -249,3 +249,38 @@ def eval_prompt(edit_type: str, caption: str, instruction: str,
         "Is the instruction a valid edit of this type, and is the output "
         "caption consistent with applying it? Answer yes or no."
     )
+
+
+# ---- Omost-style canvas planning (composition_image_generation.py:40-62:
+# the reference drives Omost-llama-3-8b for a canvas; here ANY harness LLM
+# emits the parse_canvas_plan line format directly) ------------------------
+
+CANVAS_PLAN_EXAMPLES: list[tuple[str, str]] = [
+    ("a cozy living room with a dog",
+     "global: a cozy living room, warm light, detailed\n"
+     "region: 0.0,0.0,0.45,1.0 | a tall bookshelf full of books\n"
+     "region: 0.45,0.35,1.0,0.95 | a sleeping golden retriever on a rug"),
+    ("a harbor at sunset",
+     "global: a harbor at sunset, dramatic sky\n"
+     "region: 0.0,0.0,1.0,0.45 | orange and purple clouds over the horizon\n"
+     "region: 0.1,0.45,0.6,0.95 | a moored fishing boat\n"
+     "region: 0.6,0.5,1.0,1.0 | a stone pier with coiled ropes"),
+    ("a chef plating dessert in a kitchen",
+     "global: a professional kitchen, shallow depth of field\n"
+     "region: 0.2,0.1,0.8,0.75 | a chef in whites plating a dessert\n"
+     "region: 0.25,0.7,0.75,1.0 | a white plate with a chocolate tart"),
+]
+
+
+def canvas_plan_prompt(caption: str, rng: random.Random,
+                       n_shots: int = 3) -> str:
+    shots = rng.sample(CANVAS_PLAN_EXAMPLES,
+                       min(n_shots, len(CANVAS_PLAN_EXAMPLES)))
+    parts = [
+        "Lay out a canvas for the scene. Answer with one 'global:' line "
+        "giving the overall scene, then 2-4 'region: x1,y1,x2,y2 | "
+        "description' lines with normalized coordinates in [0,1].", ""]
+    for cap, plan in shots:
+        parts += [f"caption: {cap}", plan, ""]
+    parts += [f"caption: {caption}"]
+    return "\n".join(parts)

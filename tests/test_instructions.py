@@ -154,3 +154,72 @@ def test_concept_pool_pipeline():
                               llm=lambda ps: ["yes"] * len(ps))
     assert "cat" in pool and "kitten" not in pool
     assert "sports car" not in pool  # head noun 'car' present
+
+
+def test_filter_nouns_and_pool():
+    from anyedit_tpu.instructions.concepts import (
+        filter_nouns, init_concept_pool, merge_concept_pools)
+    texts = ["Three dogs chase red foxes near the benches",
+             "Alice waters daisies in the garden"]
+    nouns = filter_nouns(texts)
+    assert "dog" in nouns and "fox" in nouns and "bench" in nouns
+    assert "alice" not in nouns          # mid-sentence capital ≈ proper noun
+    # vocab restriction drops out-of-vocab tokens
+    assert filter_nouns(texts, vocab={"dog", "fox"}) == ["dog", "fox"]
+
+    pool = init_concept_pool(["dog", "fox"],
+                             {"dog": ["Park", "park", "BEACH"],
+                              "cat": ["sofa"]})
+    assert pool["dog"]["b"] == ["beach", "park"]   # lowercased, deduped
+    assert pool["fox"]["b"] == [] and "cat" not in pool
+
+    merged = merge_concept_pools(
+        pool, {"dog": {"b": ["yard"], "c": "a dog"},
+               "owl": {"b": ["tree"], "c": ""}})
+    assert merged["dog"]["b"] == ["beach", "park", "yard"]
+    assert merged["dog"]["c"] == "a dog" and "owl" in merged
+
+
+def test_canvas_plan_generation_parses():
+    import random
+    from anyedit_tpu.instructions.generator import (
+        TemplateBackend, generate_canvas_plan, InstructionGenerator)
+    from anyedit_tpu.diffusion.regional import parse_canvas_plan
+
+    plan = generate_canvas_plan("a red barn in a wheat field",
+                                TemplateBackend(), random.Random(0))
+    g, regions = parse_canvas_plan(plan)
+    assert g and len(regions) >= 1
+
+    # an LLM emitting garbage falls back to a valid deterministic plan
+    bad_llm = lambda prompts: ["no idea"] * len(prompts)
+    plan2 = generate_canvas_plan("a red barn", bad_llm, random.Random(0))
+    g2, r2 = parse_canvas_plan(plan2)
+    assert g2 == "a red barn" and len(r2) == 1
+
+    recs = InstructionGenerator(TemplateBackend()).generate(
+        "composition", ["a lighthouse on a cliff"])
+    assert recs[0].edit_type == "composition"
+    assert "canvas_plan" in recs[0].extras
+
+
+def test_composition_record_caption_to_image():
+    """Caption → canvas plan (LLM harness) → composition_fn → image: the
+    full composition loop the reference runs via Omost-llama-3-8b +
+    StableDiffusionXLOmostPipeline (composition_image_generation.py)."""
+    import numpy as np
+    from anyedit_tpu.cli import tiny_zoo_config
+    from anyedit_tpu.instructions.generator import (
+        TemplateBackend, InstructionGenerator)
+    from anyedit_tpu.runtime.zoo import ModelZoo
+    from anyedit_tpu.edits.registry import get_pipeline
+
+    rec = InstructionGenerator(TemplateBackend()).generate(
+        "composition", ["a lighthouse on a rocky cliff"])[0]
+    zoo = ModelZoo(tiny_zoo_config())
+    tb = zoo.toolbox(with_diffusion=False, slots=("composition",))
+    size = zoo.cfg.canvas.edit_size
+    img = np.zeros((size, size, 3), np.uint8)
+    out = get_pipeline("composition")(tb, rec, img,
+                                      np.random.default_rng(0))
+    assert out.success and out.edited.shape == (size, size, 3)
