@@ -470,6 +470,52 @@ class ModelZoo:
                                  num_steps=steps, guidance_scale=s_txt,
                                  image_guidance_scale=s_img, mask=mask)
 
+            # per-step compile unit (cfg.fused_diffusion_loop=False): ~50
+            # small programs instead of one huge fori_loop program — the
+            # only route on hosts whose remote-compile service cannot take
+            # the fused 50-step graph (see bench.py docstring).
+            @functools.partial(jax.jit, static_argnames=("steps",))
+            def step_one(params, lat, img_lat, ctx3, i, steps, s_txt, s_img):
+                st = ddim_init(ns, steps)
+                b = lat.shape[0]
+                lat3 = jnp.concatenate([lat, lat, lat], axis=0)
+                img_cond = jnp.concatenate(
+                    [img_lat, img_lat, jnp.zeros_like(img_lat)], axis=0)
+                eps3 = unet.apply(params,
+                                  jnp.concatenate([lat3, img_cond], -1),
+                                  jnp.full((3 * b,), st.timesteps[i]), ctx3)
+                e_f, e_i, e_u = jnp.split(eps3, 3, axis=0)
+                eps = e_u + s_txt * (e_f - e_i) + s_img * (e_i - e_u)
+                return ddim_step(ns, st, i, eps, lat)
+
+            @functools.partial(jax.jit, static_argnames=("steps",))
+            def composite(lat, img_lat, mask, noise, i, steps):
+                # per-step masked compositing against the re-noised original
+                # (global_tool.py:183-184), same as the fused loop's body
+                st = ddim_init(ns, steps)
+                t_next = jnp.where(i + 1 < steps,
+                                   st.timesteps[jnp.minimum(i + 1, steps - 1)],
+                                   0)
+                ren = jnp.where(i + 1 < steps,
+                                add_noise(ns, img_lat, noise, t_next), img_lat)
+                return mask * lat + (1.0 - mask) * ren
+
+            def run_stepwise(params, lat_in, cond, uncond, mask, k, steps,
+                             s_txt, s_img):
+                lat = jax.random.normal(k, lat_in.shape, jnp.float32)
+                renoise = jax.random.normal(jax.random.fold_in(k, 1),
+                                            lat_in.shape, jnp.float32)
+                ctx3 = jnp.concatenate([cond, uncond, uncond], axis=0)
+                for i in range(steps):
+                    lat = step_one(params, lat, lat_in, ctx3, jnp.asarray(i),
+                                   steps, s_txt, s_img)
+                    if mask is not None:
+                        lat = composite(lat, lat_in, mask, renoise,
+                                        jnp.asarray(i), steps)
+                return lat
+
+            run = run_fused if c.fused_diffusion_loop else run_stepwise
+
             def edit(image_u8, instruction, mask01, steps=50, s_txt=8.0,
                      s_img=0.9, seed=0):
                 size = c.canvas.edit_size

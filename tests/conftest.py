@@ -30,3 +30,23 @@ import pytest  # noqa: E402
 def mesh8():
     from anyedit_tpu.core.mesh import make_mesh, MeshSpec
     return make_mesh(MeshSpec(dp=2, tp=2, ep=2))
+
+
+# ---- test tiers ----------------------------------------------------------
+# The full suite is compile-bound on this image (≈250 tests, >10 min even
+# warm); `-m smoke` selects the load-bearing integration subset + cheap unit
+# cores so the driver loop can always finish a meaningful run.
+_SMOKE_MODULES = {
+    "test_all_edit_types",      # every pipeline streams end-to-end
+    "test_executor",            # ledger / containment / resume
+    "test_parallel_edit",       # dp-sharded editor on the virtual mesh
+    "test_train_cli",           # train e2e + weights-dir + grids
+    "test_core", "test_schedulers", "test_filters", "test_instructions",
+    "test_edits", "test_zoo", "test_convert_verify",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in _SMOKE_MODULES:
+            item.add_marker(pytest.mark.smoke)

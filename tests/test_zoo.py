@@ -85,3 +85,24 @@ def test_require_weights_fails_loud(tmp_path):
         z.inpainter()
     with pytest.raises(ValueError, match="weights_dir"):
         ModelZoo(tiny_zoo_config(), require_weights=True)
+
+
+def test_ip2p_stepwise_matches_fused():
+    """cfg.fused_diffusion_loop=False (per-step compile units for hosts
+    whose remote-compile can't take the 50-step fori_loop graph) must be
+    bit-equivalent to the fused path — same RNG draws, same DDIM chain,
+    same per-step masked compositing."""
+    from anyedit_tpu.cli import tiny_zoo_config
+
+    img = np.random.default_rng(7).integers(0, 255, (64, 64, 3), np.uint8)
+    mask = np.zeros((64, 64), np.float32)
+    mask[:32] = 1.0
+    outs = []
+    for fused in (True, False):
+        cfg = dataclasses.replace(tiny_zoo_config(),
+                                  fused_diffusion_loop=fused)
+        edit = ModelZoo(cfg).ip2p()
+        outs.append((edit(img, "make it blue", None, steps=3, seed=1),
+                     edit(img, "make it blue", mask, steps=3, seed=1)))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])
