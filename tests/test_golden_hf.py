@@ -576,3 +576,126 @@ def test_depth_anything_matches_hf():
         want = hf(pixel_values=torch.from_numpy(px.transpose(0, 3, 1, 2))
                   ).predicted_depth.numpy()
     np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+
+
+def test_gdino_sam_bf16_parity_vs_fp32_hf():
+    """Mixed-precision case: the production grounding stack runs bf16 on
+    TPU (GDINOConfig/SAMConfig default dtype) while HF reference math is
+    fp32. Tolerance rationale: bf16 keeps an 8-bit mantissa (~2-3 decimal
+    digits); boxes are sigmoid-bounded in [0,1] so absolute error budget is
+    ~1e-2 after ~30 matmul depths; SAM iou scores likewise sigmoid-scaled.
+    Mask LOGITS and contrastive text logits are unbounded (scale ~10) and
+    get a proportionally wider budget. Catches dtype-cast placement bugs
+    (e.g. fp32 stats accidentally truncated before a residual join) that
+    fp32-only goldens cannot see."""
+    from transformers import (GroundingDinoConfig,
+                              GroundingDinoForObjectDetection,
+                              SwinConfig as HFSwinCfg,
+                              BertConfig as HFBertCfg)
+    from anyedit_tpu.models.gdino import GroundingDINO, GDINOConfig
+    from anyedit_tpu.models.swin import SwinConfig
+    from anyedit_tpu.models.bert import BertConfig
+    from anyedit_tpu.weights.convert import convert_gdino_hf
+
+    sw = HFSwinCfg(image_size=64, patch_size=4, embed_dim=16, depths=[1, 1],
+                   num_heads=[2, 2], window_size=4,
+                   hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+                   drop_path_rate=0.0, out_features=["stage1", "stage2"])
+    bt = HFBertCfg(vocab_size=1100, hidden_size=32, num_hidden_layers=1,
+                   num_attention_heads=2, intermediate_size=128,
+                   max_position_embeddings=32, type_vocab_size=2,
+                   hidden_dropout_prob=0.0,
+                   attention_probs_dropout_prob=0.0)
+    cfg = GroundingDinoConfig(
+        backbone_config=sw, text_config=bt, d_model=32,
+        encoder_layers=1, decoder_layers=1, num_queries=12,
+        encoder_attention_heads=2, decoder_attention_heads=2,
+        encoder_ffn_dim=64, decoder_ffn_dim=64, num_feature_levels=2,
+        encoder_n_points=2, decoder_n_points=2, max_text_len=16,
+        dropout=0.0, activation_dropout=0.0, attention_dropout=0.0,
+        fusion_droppath=0.0, fusion_dropout=0.0, text_enhancer_dropout=0.0)
+    torch.manual_seed(23)
+    hf = GroundingDinoForObjectDetection(cfg).eval()
+
+    ours = GroundingDINO(GDINOConfig(
+        swin=SwinConfig(embed_dim=16, depths=(1, 1), heads=(2, 2), window=4,
+                        patch=4, out_indices=(0, 1), dtype=jnp.bfloat16),
+        bert=BertConfig(vocab_size=1100, hidden=32, layers=1, heads=2,
+                        max_len=32, type_vocab=2, dtype=jnp.bfloat16),
+        hidden=32, heads=2, enc_layers=1, dec_layers=1, num_queries=12,
+        num_levels=2, num_points=2, max_text_len=16, ffn_dim=64,
+        dtype=jnp.bfloat16))
+
+    px = np.random.default_rng(24).standard_normal((1, 64, 64, 3)).astype(np.float32)
+    ids = np.array([[101, 5, 7, 1012, 9, 11, 1012, 102]], np.int64)
+    mask = np.ones_like(ids, bool)
+    tree = ours.init(jax.random.key(0), jnp.asarray(px),
+                     jnp.asarray(ids, jnp.int32), jnp.asarray(mask))
+    tree = {"params": convert_gdino_hf(tree["params"], _np_state(hf))}
+    logits, boxes = ours.apply(tree, jnp.asarray(px),
+                               jnp.asarray(ids, jnp.int32),
+                               jnp.asarray(mask))
+    with torch.no_grad():
+        out = hf(pixel_values=torch.from_numpy(px.transpose(0, 3, 1, 2)),
+                 input_ids=torch.from_numpy(ids),
+                 attention_mask=torch.from_numpy(np.ones_like(ids)))
+    # Language-guided query selection is a top-k over near-TIED random-init
+    # logits — bf16 rounding legitimately flips the borderline ranks, which
+    # swaps whole queries (selection instability, not numerics). Budget: at
+    # least 10/12 queries must match within the bf16 tolerance; real
+    # checkpoints have well-separated selection logits.
+    got_b = np.asarray(boxes, np.float32)
+    want_b = out.pred_boxes.numpy()
+    got_l = np.asarray(logits, np.float32)
+    want_l = out.logits.numpy()[..., :ids.shape[1]]
+    per_q_ok = ((np.abs(got_b - want_b).max(-1) < 2e-2)
+                & (np.abs(got_l - want_l).max(-1) < 0.15))[0]
+    assert per_q_ok.sum() >= 10, (per_q_ok,
+                                  np.abs(got_b - want_b).max(-1))
+
+    # SAM bf16 vs fp32 HF (masks sigmoid-thresholded downstream: the
+    # decision-relevant quantity is the logit SIGN near 0 — assert logits
+    # within an absolute budget scaled to their dynamic range)
+    from transformers import SamModel, SamConfig
+    from transformers.models.sam.configuration_sam import (
+        SamVisionConfig, SamPromptEncoderConfig, SamMaskDecoderConfig)
+    from anyedit_tpu.models.sam import SAM, SAMConfig
+    from anyedit_tpu.weights.convert import convert_sam
+
+    vc = SamVisionConfig(hidden_size=32, num_hidden_layers=2,
+                         num_attention_heads=2, image_size=64, patch_size=8,
+                         window_size=4, global_attn_indexes=[1],
+                         output_channels=16, mlp_dim=128, num_pos_feats=8)
+    pc = SamPromptEncoderConfig(hidden_size=16, image_embedding_size=8,
+                                image_size=64, patch_size=8)
+    mc = SamMaskDecoderConfig(hidden_size=16, num_hidden_layers=2,
+                              num_attention_heads=2, mlp_dim=128,
+                              iou_head_depth=3, iou_head_hidden_dim=16)
+    scfg = SamConfig(vision_config=vc.to_dict(),
+                     prompt_encoder_config=pc.to_dict(),
+                     mask_decoder_config=mc.to_dict())
+    torch.manual_seed(25)
+    hfs = SamModel(scfg).eval()
+    ours_s = SAM(SAMConfig(img_size=64, patch=8, enc_dim=32, enc_depth=2,
+                           enc_heads=2, window=4, global_attn_idx=(1,),
+                           out_dim=16, dec_depth=2, dec_heads=2,
+                           dtype=jnp.bfloat16))
+    spx = np.random.default_rng(26).standard_normal((1, 64, 64, 3)).astype(np.float32)
+    boxes_in = np.array([[[8.0, 12.0, 40.0, 52.0]]], np.float32)
+    stree = ours_s.init(jax.random.key(0), jnp.asarray(spx),
+                        jnp.asarray(boxes_in))
+    st = _hf_sam_to_original(_np_state(hfs))
+    st["prompt_encoder.box_corner_embeddings"] = np.stack(
+        [st["prompt_encoder.point_embeddings.2.weight"][0],
+         st["prompt_encoder.point_embeddings.3.weight"][0]])
+    stree = {"params": convert_sam(stree["params"], st)}
+    masks, iou = ours_s.apply(stree, jnp.asarray(spx), jnp.asarray(boxes_in))
+    with torch.no_grad():
+        sout = hfs(pixel_values=torch.from_numpy(spx.transpose(0, 3, 1, 2)),
+                   input_boxes=torch.from_numpy(boxes_in.astype(np.float64)))
+    want_m = sout.pred_masks.numpy()[0]
+    scale = max(1.0, float(np.abs(want_m).max()))
+    np.testing.assert_allclose(np.asarray(masks, np.float32)[:, 1:4] / scale,
+                               want_m / scale, atol=3e-2)
+    np.testing.assert_allclose(np.asarray(iou, np.float32)[:, 1:4],
+                               sout.iou_scores.numpy()[0], atol=2e-2)
