@@ -88,13 +88,24 @@ class GroupNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         xf = x.astype(jnp.float32)
         g = self.num_groups
-        shape = xf.shape
-        xg = xf.reshape(shape[:-1] + (g, c // g))
-        red = tuple(range(1, xf.ndim - 1)) + (xf.ndim,)
-        mean = jnp.mean(xg, axis=red, keepdims=True)
-        var = jnp.var(xg, axis=red, keepdims=True)
-        y = ((xg - mean) * jax.lax.rsqrt(var + self.eps)).reshape(shape)
-        y = y * scale + bias
+        n = xf.shape[0]
+        # Keep every BIG-tensor op in native channel-last layout: reduce to
+        # per-channel stats (N, C) first, combine channels→groups on the
+        # tiny stats tensor only. Reshaping the full activation to
+        # (..., G, C/G) puts C/G (10 for SD's 320ch/32g) in the lane dim —
+        # a pathological TPU tiling that forces relayout copies.
+        red = tuple(range(1, xf.ndim - 1))
+        m_c = jnp.mean(xf, axis=red)                    # (N, C)
+        m2_c = jnp.mean(jnp.square(xf), axis=red)       # (N, C)
+        m_g = jnp.mean(m_c.reshape(n, g, c // g), axis=-1)      # (N, G)
+        m2_g = jnp.mean(m2_c.reshape(n, g, c // g), axis=-1)
+        inv_g = jax.lax.rsqrt(m2_g - jnp.square(m_g) + self.eps)
+        inv_c = jnp.repeat(inv_g, c // g, axis=-1)      # (N, C)
+        mean_c = jnp.repeat(m_g, c // g, axis=-1)
+        a = inv_c * scale                               # (N, C)
+        b = bias - mean_c * a
+        bshape = (n,) + (1,) * (xf.ndim - 2) + (c,)
+        y = xf * a.reshape(bshape) + b.reshape(bshape)
         if self.silu:
             y = y * jax.nn.sigmoid(y)
         return y.astype(self.dtype)
