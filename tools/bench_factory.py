@@ -33,7 +33,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax
 import numpy as np
+
+# the tunneled remote-compile is the dominant cost of a cold run; persist
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".scratch", "jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def main():
@@ -123,9 +130,13 @@ def main():
         output_root=out_root, run_pre_filter=True, run_post_filter=True,
         save_images=False, grounding_batch=0))
 
-    # warm: one record of each type compiles every program
+    # warm: one record of each type compiles every program (incremental
+    # prints so a timeout still leaves per-stage compile evidence)
     t0 = time.perf_counter()
-    ex.run(records[:2], lambda r: img)
+    for i, r in enumerate(records[:2]):
+        ex.run([records[i]], lambda r: img)
+        print(f"# warm-up {r.edit_type}: t={time.perf_counter()-t0:.1f}s",
+              file=sys.stderr, flush=True)
     compile_s = time.perf_counter() - t0
     print(f"# warm-up (compile) {compile_s:.1f}s", file=sys.stderr, flush=True)
 
