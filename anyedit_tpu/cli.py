@@ -159,28 +159,18 @@ def cmd_run(args) -> int:
     return 0
 
 
-def cmd_train(args) -> int:
-    """AnySD Stage-II fine-tune from a factory success ledger — replaces
-    the reference's `accelerate launch train.py` (train.py:347-800):
-    mixture dataset → on-device encode → pjit MoE-adapter train step →
-    Orbax checkpoint/rotate/resume."""
+def _anysd_configs(tiny: bool):
+    """(AnySDConfig, text_cfg, vis_cfg, vae_cfg) shared by train/edit."""
     import dataclasses
-    import jax
     import jax.numpy as jnp
 
-    from anyedit_tpu.core.mesh import MeshSpec, make_mesh
     from anyedit_tpu.models.clip import (
         TINY_TEXT, TINY_VISION, CLIP_L_TEXT, CLIP_L_VISION)
     from anyedit_tpu.models.unet_sd import TINY_UNET, SD15_IP2P_UNET
-    from anyedit_tpu.models.vae import AutoencoderKL, TINY_VAE, SD_VAE
-    from anyedit_tpu.ops.resize import imagenet_normalize, resize_image
-    from anyedit_tpu.train.anysd import AnySDConfig, AnySDTrainer, shard_tree
-    from anyedit_tpu.train.checkpoint import TrainCheckpointer
-    from anyedit_tpu.train.data import (
-        MixtureSampler, examples_from_ledger, pixel_batches)
-    from anyedit_tpu.train.frozen import load_frozen_encoders
+    from anyedit_tpu.models.vae import TINY_VAE, SD_VAE
+    from anyedit_tpu.train.anysd import AnySDConfig
 
-    if args.tiny:
+    if tiny:
         text_cfg = dataclasses.replace(TINY_TEXT, vocab_size=49408,
                                        max_len=16, dtype=jnp.float32)
         vis_cfg = dataclasses.replace(TINY_VISION, dtype=jnp.float32)
@@ -195,6 +185,54 @@ def cmd_train(args) -> int:
         num_experts = 11
     cfg = AnySDConfig(unet=unet_cfg, num_experts=num_experts,
                       image_embed_dim=vis_cfg.proj_dim)
+    return cfg, text_cfg, vis_cfg, vae_cfg
+
+
+def cmd_edit(args) -> int:
+    """Apply a TRAINED AnySD adapter checkpoint to an image — the
+    deployment surface of the L6 loop (the reference delegates this to its
+    separate AnySD release; semantics are train.py:37-76 validation)."""
+    import json as _json
+
+    from PIL import Image
+    from anyedit_tpu.train.inference import AnySDEditor
+
+    cfg, text_cfg, vis_cfg, vae_cfg = _anysd_configs(args.tiny)
+    editor = AnySDEditor.from_checkpoint(
+        cfg, args.checkpoint_dir, weights_dir=args.weights_dir,
+        require_weights=args.require_weights, seed=args.seed,
+        resolution=args.resolution, allow_fallback_tokenizers=args.tiny,
+        text_cfg=text_cfg, vis_cfg=vis_cfg, vae_cfg=vae_cfg)
+    img = np.asarray(Image.open(args.image).convert("RGB"))
+    out = editor.edit(img, args.instruction, args.edit_type,
+                      steps=args.steps, text_scale=args.guidance,
+                      image_scale=args.image_guidance, seed=args.seed)
+    Path(args.output).parent.mkdir(parents=True, exist_ok=True)
+    Image.fromarray(out).save(args.output)
+    print(_json.dumps({"output": str(args.output),
+                       "edit_type": args.edit_type,
+                       "size": list(out.shape[:2])}))
+    return 0
+
+
+def cmd_train(args) -> int:
+    """AnySD Stage-II fine-tune from a factory success ledger — replaces
+    the reference's `accelerate launch train.py` (train.py:347-800):
+    mixture dataset → on-device encode → pjit MoE-adapter train step →
+    Orbax checkpoint/rotate/resume."""
+    import jax
+    import jax.numpy as jnp
+
+    from anyedit_tpu.core.mesh import MeshSpec, make_mesh
+    from anyedit_tpu.models.vae import AutoencoderKL
+    from anyedit_tpu.ops.resize import imagenet_normalize, resize_image
+    from anyedit_tpu.train.anysd import AnySDTrainer, shard_tree
+    from anyedit_tpu.train.checkpoint import TrainCheckpointer
+    from anyedit_tpu.train.data import (
+        MixtureSampler, examples_from_ledger, pixel_batches)
+    from anyedit_tpu.train.frozen import load_frozen_encoders
+
+    cfg, text_cfg, vis_cfg, vae_cfg = _anysd_configs(args.tiny)
     trainer = AnySDTrainer(cfg, learning_rate=args.lr)
 
     # frozen encoders (train.py:414-418 freezes VAE/text/image encoders) —
@@ -279,49 +317,21 @@ def cmd_train(args) -> int:
     val_pairs = []
     if args.val_count > 0:
         from PIL import Image
+        from anyedit_tpu.train.inference import AnySDEditor
         from anyedit_tpu.train.validation import log_validation
-        from anyedit_tpu.train.anysd import expert_id
-        from anyedit_tpu.diffusion import ip2p_edit
-        import functools
 
         for ex in examples[:args.val_count]:
             im = np.asarray(Image.open(ex.input_file).convert("RGB")
                             .resize((res, res)))
             val_pairs.append((im, ex.record.edit, ex.record.edit_type))
 
-        @functools.partial(jax.jit, static_argnames=("steps",))
-        def _val_run(adapter_p, unet_p, lat_in, ids, emb, task, k, steps):
-            hidden, _ = text.apply(text_p, ids)
-            tok3 = trainer.adapter.apply(adapter_p, emb, task)
-            cond = jnp.concatenate([hidden, tok3.astype(hidden.dtype)], 1)
-            hid_u, _ = text.apply(text_p, jnp.zeros_like(ids))
-            uncond = jnp.concatenate([hid_u, tok3.astype(hidden.dtype)], 1)
-
-            def eps_fn(x, t, c_):
-                return trainer.unet.apply(unet_p, x, t, c_)
-            return ip2p_edit(eps_fn, trainer.ns, lat_in, cond, uncond, k,
-                             num_steps=steps, guidance_scale=7.5,
-                             image_guidance_scale=1.5)
+        editor = AnySDEditor(cfg, frozen, unet_p, resolution=res)
 
         def run_validation(step, adapter_p):
-            def edit_one(img_u8, instr_and_type):
-                instr, etype = instr_and_type
-                px = jnp.asarray(img_u8, jnp.float32)[None] / 127.5 - 1.0
-                m, _ = vae.apply(vae_p, px, method=type(vae).encode)
-                ids = jnp.asarray(tokenize(instr))
-                vpx = resize_image(px * 0.5 + 0.5, vis_cfg.image_size,
-                                   vis_cfg.image_size, "bilinear")
-                _, emb = vision.apply(vis_p, imagenet_normalize(vpx))
-                task = jnp.asarray([expert_id(etype)], jnp.int32)
-                out = _val_run(adapter_p, unet_p, m * sf, ids, emb, task,
-                               jax.random.key(args.seed), args.val_steps)
-                img = vae.apply(vae_p, (out / sf),
-                                method=type(vae).decode)[0]
-                return np.asarray(jnp.clip((img + 1) * 127.5, 0, 255)
-                                  ).astype(np.uint8)
-
             path = log_validation(
-                lambda im, it: edit_one(im, it),
+                lambda im, it: editor.edit(
+                    im, it[0], it[1], adapter_params=adapter_p,
+                    steps=args.val_steps, seed=args.seed),
                 [(im, (instr, et)) for im, instr, et in val_pairs],
                 Path(args.checkpoint_dir) / "val", step)
             print(json.dumps({"validation_grid": str(path), "step": step}))
@@ -436,6 +446,25 @@ def main(argv=None) -> int:
     pt.add_argument("--val-steps", type=int, default=20,
                     help="DDIM steps for validation edits")
     pt.set_defaults(fn=cmd_train)
+
+    pd = sub.add_parser("edit", help="edit one image with a trained AnySD "
+                                     "adapter checkpoint")
+    pd.add_argument("--image", required=True)
+    pd.add_argument("--instruction", required=True)
+    pd.add_argument("--edit-type", required=True)
+    pd.add_argument("--checkpoint-dir", required=True,
+                    help="Orbax dir written by `anyedit_tpu train`")
+    pd.add_argument("--output", default="edited.png")
+    pd.add_argument("--weights-dir", default=None,
+                    help="dir of converted frozen-tower .msgpack weights")
+    pd.add_argument("--require-weights", action="store_true")
+    pd.add_argument("--resolution", type=int, default=256)
+    pd.add_argument("--steps", type=int, default=20)
+    pd.add_argument("--guidance", type=float, default=7.5)
+    pd.add_argument("--image-guidance", type=float, default=1.5)
+    pd.add_argument("--seed", type=int, default=0)
+    pd.add_argument("--tiny", action="store_true")
+    pd.set_defaults(fn=cmd_edit)
 
     pc = sub.add_parser("convert", help="torch checkpoint → zoo msgpack")
     pc.add_argument("--model", default=None)

@@ -175,3 +175,40 @@ def test_train_cli_weights_dir_and_validation_grid(tmp_path, capsys):
     from PIL import Image
     g = np.asarray(Image.open(grids[-1]))
     assert g.ndim == 3 and g.shape[0] >= 32 and g.shape[1] >= 64
+
+
+def test_edit_cli_applies_trained_adapter(tmp_path, capsys):
+    """`anyedit_tpu edit`: train 1 tiny step, then edit an image from the
+    resulting Orbax checkpoint (the L6 deployment surface)."""
+    led = _make_ledger(tmp_path)
+    ck = tmp_path / "ckpt"
+    args = ["train", "--ledger", str(led), "--steps", "1",
+            "--batch-size", "2", "--resolution", "32", "--tiny",
+            "--checkpoint-dir", str(ck), "--checkpoint-every", "1",
+            "--val-count", "0"]
+    assert cli_main(args) == 0
+    capsys.readouterr()
+
+    from PIL import Image
+    img = tmp_path / "imgs" / "in_0.png"
+    out = tmp_path / "out" / "edited.png"
+    args2 = ["edit", "--image", str(img), "--instruction", "make it red",
+             "--edit-type", "color_alter", "--checkpoint-dir", str(ck),
+             "--output", str(out), "--resolution", "32", "--steps", "2",
+             "--tiny"]
+    assert cli_main(args2) == 0
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["output"] == str(out) and meta["edit_type"] == "color_alter"
+    arr = np.asarray(Image.open(out))
+    assert arr.shape == (32, 32, 3) and arr.dtype == np.uint8
+
+
+def test_edit_cli_requires_checkpoint(tmp_path):
+    from anyedit_tpu.train.inference import AnySDEditor
+    from anyedit_tpu.train.anysd import TINY_ANYSD
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError, match="no training checkpoint"):
+        AnySDEditor.from_checkpoint(
+            TINY_ANYSD, tmp_path / "empty_ck", resolution=32,
+            text_cfg=_tiny_train_cfgs()[0], vis_cfg=_tiny_train_cfgs()[1],
+            vae_cfg=_tiny_train_cfgs()[2], allow_fallback_tokenizers=True)
