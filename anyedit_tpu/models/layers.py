@@ -99,7 +99,12 @@ class GroupNorm(nn.Module):
         m2_c = jnp.mean(jnp.square(xf), axis=red)       # (N, C)
         m_g = jnp.mean(m_c.reshape(n, g, c // g), axis=-1)      # (N, G)
         m2_g = jnp.mean(m2_c.reshape(n, g, c // g), axis=-1)
-        inv_g = jax.lax.rsqrt(m2_g - jnp.square(m_g) + self.eps)
+        # One-pass E[x²]−E[x]² can go (slightly) negative through fp32
+        # cancellation when |mean| ≫ std within a group (observed −0.02 on
+        # spatially-constant high-magnitude features); clamp on the tiny
+        # stats tensor before rsqrt or it NaNs.
+        var_g = jnp.maximum(m2_g - jnp.square(m_g), 0.0)
+        inv_g = jax.lax.rsqrt(var_g + self.eps)
         inv_c = jnp.repeat(inv_g, c // g, axis=-1)      # (N, C)
         mean_c = jnp.repeat(m_g, c // g, axis=-1)
         a = inv_c * scale                               # (N, C)

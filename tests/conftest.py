@@ -18,8 +18,25 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: the suite is compile-bound on this image's
 # single CPU core (the big tiny-zoo integration tests alone re-jit dozens of
 # programs). First run populates; subsequent runs cut minutes to seconds.
+# The dir is keyed by a CPU-feature fingerprint: XLA:CPU AOT executables are
+# machine-specific, and loading a cache written on a host with different
+# vector extensions mis-executes silently (observed: NaN logits + SIGILL
+# warnings when an AMX-host cache was loaded on a non-AMX host).
+import hashlib  # noqa: E402
+
+
+def _cpu_tag() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next(l for l in f if l.startswith("flags"))
+    except (OSError, StopIteration):
+        import platform
+        flags = platform.processor() or "unknown"
+    return hashlib.sha1(flags.encode()).hexdigest()[:8]
+
+
 _cache = os.path.join(os.path.dirname(os.path.dirname(__file__)),
-                      ".jax_test_cache")
+                      f".jax_test_cache-{_cpu_tag()}")
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
