@@ -249,8 +249,11 @@ def cmd_train(args) -> int:
     vision, vis_p = frozen.vision, frozen.vision_params
     sf = vae_cfg.scaling_factor
 
+    # frozen-tower params are jit ARGUMENTS (not closure constants): baked
+    # constants would be read back tensor-by-tensor at lowering time and
+    # re-compiled per checkpoint (core/jit.py rationale).
     @jax.jit
-    def encode_batch(batch):
+    def _encode_batch(vae_p, text_p, vis_p, batch):
         e_mean, _ = vae.apply(vae_p, batch["edited_px"],
                               method=AutoencoderKL.encode)
         o_mean, _ = vae.apply(vae_p, batch["orig_px"],
@@ -262,6 +265,9 @@ def cmd_train(args) -> int:
         return {"edited_latents": e_mean * sf, "orig_latents": o_mean * sf,
                 "text_emb": hidden, "image_embed": emb,
                 "task_id": batch["task_id"]}
+
+    def encode_batch(batch):
+        return _encode_batch(vae_p, text_p, vis_p, batch)
 
     latent_hw = res // (2 ** (len(vae_cfg.block_channels) - 1))
     unet_p, adapter_p, opt_state = trainer.init(key, latent_hw=latent_hw,

@@ -26,7 +26,8 @@ own same so than too very s t can will just don should now and or but if
 because as until while is are was were be been being have has had having do
 does did doing would could ought im youre hes shes its were theyre ive youve
 weve theyve isnt arent wasnt werent hasnt havent hadnt doesnt dont didnt me
-him them who whom which it he she they we you i
+him them who whom which it he she they we you i near beside behind beneath
+around across along amid among onto upon within without toward towards past
 """.split())
 
 _ADJ_SUFFIX = ("ous", "ful", "ish", "ive", "less", "able", "ible", "al", "ic",
@@ -42,7 +43,8 @@ _COMMON_VERB = frozenset("""
 sit sits stand stands walk walks run runs fly flies jump jumps eat eats
 drink drinks hold holds ride rides play plays look looks watch watches wear
 wears carry carries swim swims sleep sleeps lie lies lay lays drive drives
-park parks graze grazes rest rests
+park parks graze grazes rest rests chase chases throw throws catch catches
+pull pulls push pushes climb climbs
 """.split())
 
 

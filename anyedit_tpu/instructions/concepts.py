@@ -113,10 +113,13 @@ def filter_nouns(texts: Sequence[str],
     from raw caption text (concept/fliter_noun.py:30-48: spacy NOUN/PROPN
     minus PERSON entities, NLTK english-vocab check, WordNet lemma).
 
-    Environment-adapted: proper nouns are dropped by the capitalized-
-    mid-sentence heuristic, and the english check runs against the caller's
-    `vocab` set (e.g. a wordlist file) when provided."""
+    Environment-adapted: the noun pass reuses `grounding.tags.generate_tags`
+    (spaCy NOUN when installed, stop-word + suffix heuristics otherwise),
+    proper nouns are dropped by the capitalized-mid-sentence heuristic, and
+    the english check runs against the caller's `vocab` set (e.g. a
+    wordlist file) when provided."""
     import re
+    from anyedit_tpu.grounding.tags import generate_tags
     # corpus pass: which tokens ever appear uncapitalized? A capitalized
     # token with no lowercase occurrence anywhere is treated as PROPN —
     # covers sentence-initial names the mid-sentence rule can't see.
@@ -128,11 +131,14 @@ def filter_nouns(texts: Sequence[str],
         lowercase_seen.update(t for t in toks if t[0].islower())
     out: list[str] = []
     seen: set[str] = set()
-    for tokens in tokenized:
+    for text, tokens in zip(texts, tokenized):
+        nouns = {w.lower() for w in generate_tags(text)["nouns"]}
         for i, tok in enumerate(tokens):
             if tok[0].isupper() and (i > 0 or tok.lower()
                                      not in lowercase_seen):
                 continue                      # capitalized ≈ PROPN
+            if tok.lower() not in nouns:
+                continue                      # stop words / verbs / adjs
             w = _lemmatize(tok.lower())
             if len(w) < 3 or w in seen:
                 continue

@@ -96,14 +96,20 @@ class GroupNorm(nn.Module):
         # a pathological TPU tiling that forces relayout copies.
         red = tuple(range(1, xf.ndim - 1))
         m_c = jnp.mean(xf, axis=red)                    # (N, C)
-        m2_c = jnp.mean(jnp.square(xf), axis=red)       # (N, C)
+        # Two-pass per-channel variance (jnp.var subtracts the mean before
+        # squaring) — the one-pass E[x²]−E[x]² form cancels catastrophically
+        # in fp32 when |mean| ≫ std (error ~0.02 observed on high-magnitude
+        # spatially-flat features ⇒ wrong inverse scale, or NaN when it goes
+        # negative). Both passes stay in native channel-last layout.
+        v_c = jnp.var(xf, axis=red)                     # (N, C)
         m_g = jnp.mean(m_c.reshape(n, g, c // g), axis=-1)      # (N, G)
-        m2_g = jnp.mean(m2_c.reshape(n, g, c // g), axis=-1)
-        # One-pass E[x²]−E[x]² can go (slightly) negative through fp32
-        # cancellation when |mean| ≫ std within a group (observed −0.02 on
-        # spatially-constant high-magnitude features); clamp on the tiny
-        # stats tensor before rsqrt or it NaNs.
-        var_g = jnp.maximum(m2_g - jnp.square(m_g), 0.0)
+        # pooled group variance = E_g[var_c + (m_c − m_g)²]: within-channel
+        # variance plus between-channel spread, combined on the tiny (N, C)
+        # stats tensor only — no cancellation (differences of like-scale
+        # means, squared after subtraction).
+        d_c = m_c - jnp.repeat(m_g, c // g, axis=-1)
+        var_g = jnp.mean((v_c + jnp.square(d_c)).reshape(n, g, c // g),
+                         axis=-1)
         inv_g = jax.lax.rsqrt(var_g + self.eps)
         inv_c = jnp.repeat(inv_g, c // g, axis=-1)      # (N, C)
         mean_c = jnp.repeat(m_g, c // g, axis=-1)

@@ -197,21 +197,24 @@ def greedy_generate(model: Llama, params, prompt_embeds: jnp.ndarray,
     b, l0, _ = prompt_embeds.shape
     cache_len = cache_len or (l0 + max_new)
 
-    prefill = jax.jit(lambda e: model.apply(params, e, cache_len,
-                                            method=Llama.prefill))
-    logits, caches = prefill(prompt_embeds)
+    # params stay TRACED jit arguments — closure capture would bake the
+    # full weight set into the HLO as constants (core/jit.py rationale)
+    prefill = jax.jit(lambda p, e: model.apply(p, e, cache_len,
+                                               method=Llama.prefill))
+    logits, caches = prefill(params, prompt_embeds)
 
-    def step(carry, pos):
+    def step(p, carry, pos):
         logits, caches = carry
         tok = jnp.argmax(logits, axis=-1)                       # (B,)
-        emb = model.apply(params, tok[:, None], method=Llama.embed)
-        logits, caches = model.apply(params, emb, caches, pos,
+        emb = model.apply(p, tok[:, None], method=Llama.embed)
+        logits, caches = model.apply(p, emb, caches, pos,
                                      method=Llama.decode_step)
         return (logits, caches), tok
 
-    scan = jax.jit(lambda carry: jax.lax.scan(
-        step, carry, jnp.arange(l0, l0 + max_new)))
-    (_, _), toks = scan((logits, caches))
+    scan = jax.jit(lambda p, carry: jax.lax.scan(
+        lambda c, pos: step(p, c, pos), carry,
+        jnp.arange(l0, l0 + max_new)))
+    (_, _), toks = scan(params, (logits, caches))
     out = np.asarray(toks).T                                     # (B, max_new)
     if eos_id is not None:
         for r in range(out.shape[0]):

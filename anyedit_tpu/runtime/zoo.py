@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from anyedit_tpu.core.config import CanvasConfig
+from anyedit_tpu.core.jit import jit_apply
 from anyedit_tpu.edits.types import Toolbox
 from anyedit_tpu.grounding.maskgen import (
     MAX_BOXES, grounding_result, select_boxes,
@@ -127,15 +128,12 @@ def select_tokenizers(weights_dir: Optional[Path], clip_vocab_size: int,
     fail loudly when weights exist but tokenizer assets don't."""
     from anyedit_tpu.grounding.text import WordPieceTokenizer
     from anyedit_tpu.models.clip_tokenizer import (
-        ClipBPETokenizer, SimpleClipTokenizer)
+        ClipBPETokenizer, SimpleClipTokenizer, find_clip_merges)
     if weights_dir is None:
         return SimpleVocabTokenizer(), SimpleClipTokenizer(clip_vocab_size)
     weights_dir = Path(weights_dir)
     vocab = weights_dir / "vocab.txt"
-    merges = next((p for p in (weights_dir / "bpe_simple_vocab_16e6.txt.gz",
-                               weights_dir / "clip_merges.txt.gz",
-                               weights_dir / "clip_merges.txt")
-                   if p.exists()), None)
+    merges = find_clip_merges(weights_dir)
     if (not vocab.exists() or merges is None) and not allow_fallback:
         raise FileNotFoundError(
             f"weights_dir={weights_dir} is set but tokenizer assets "
@@ -199,15 +197,14 @@ class ModelZoo:
             ids = jnp.zeros((1, tlen), jnp.int32)
             msk = jnp.zeros((1, tlen), bool)
             gd_params = load_params(gd, (px, ids, msk), self._wf("gdino"), self.seed)
-            gd_fn = jax.jit(lambda px, ids, m: gd.apply(gd_params, px, ids, m))
+            gd_fn = jit_apply(gd, gd_params)
 
             sam = SAM(c.sam)
             spx = jnp.zeros((1, c.sam.img_size, c.sam.img_size, 3), jnp.float32)
             sboxes = jnp.zeros((1, MAX_BOXES, 4), jnp.float32)
             sam_params = load_params(sam, (spx, sboxes), self._wf("sam"), self.seed)
-            sam_enc = jax.jit(lambda px: sam.apply(sam_params, px, method=SAM.encode))
-            sam_dec = jax.jit(lambda emb, b: sam.apply(sam_params, emb, b,
-                                                       method=SAM.decode_boxes))
+            sam_enc = jit_apply(sam, sam_params, method=SAM.encode)
+            sam_dec = jit_apply(sam, sam_params, method=SAM.decode_boxes)
 
             def ground(image_u8: np.ndarray, phrase: str, mode: str = "merge",
                        count_k: int | None = None):
@@ -316,7 +313,7 @@ class ModelZoo:
             ex_img = jnp.zeros((1, 64, 64, 3), jnp.float32)
             ex_m = jnp.zeros((1, 64, 64, 1), jnp.float32)
             params = load_params(lama, (ex_img, ex_m), self._wf("lama"), self.seed)
-            fn = jax.jit(lambda i, m: lama.apply(params, i, m))
+            fn = jit_apply(lama, params)
 
             def inpaint(img01: np.ndarray, mask01: np.ndarray) -> np.ndarray:
                 x, (h, w) = pad_to_modulo(jnp.asarray(img01, jnp.float32)[None], 8)
@@ -356,7 +353,7 @@ class ModelZoo:
             ml = tcfg.max_len
             ids = jnp.zeros((1, ml), jnp.int32)
             params = load_params(te, (ids,), self._wf(cache_name), self.seed)
-            fn = jax.jit(lambda ids: te.apply(params, ids))
+            fn = jit_apply(te, params)
 
             def encode(text: str):
                 return fn(jnp.asarray(self._clip_ids(text, ml)))
@@ -403,7 +400,7 @@ class ModelZoo:
             ml = 77
             ids = jnp.zeros((1, ml), jnp.int32)
             params = load_params(t5, (ids,), self._wf("t5"), self.seed)
-            fn = jax.jit(lambda ids: t5.apply(params, ids))
+            fn = jit_apply(t5, params)
 
             def encode(text: str):
                 return fn(jnp.asarray(self._t5_ids(text, ml)))
@@ -416,8 +413,8 @@ class ModelZoo:
             size = self.cfg.canvas.edit_size
             px = jnp.zeros((1, size, size, 3), jnp.bfloat16)
             params = load_params(vae, (px,), self._wf(cache_name), self.seed)
-            enc = jax.jit(lambda p: vae.apply(params, p, method=AutoencoderKL.encode))
-            dec = jax.jit(lambda z: vae.apply(params, z, method=AutoencoderKL.decode))
+            enc = jit_apply(vae, params, method=AutoencoderKL.encode)
+            dec = jit_apply(vae, params, method=AutoencoderKL.decode)
             return enc, dec
         return self._get(cache_name, build)
 
@@ -531,8 +528,8 @@ class ModelZoo:
                                       size // c.canvas.latent_down,
                                       size // c.canvas.latent_down, "bilinear")
                     m = (mh > 0.5).astype(jnp.float32)[None]
-                out = run_fused(params, lat_in, cond, uncond, m,
-                                jax.random.key(seed), steps, s_txt, s_img)
+                out = run(params, lat_in, cond, uncond, m,
+                          jax.random.key(seed), steps, s_txt, s_img)
                 img_out = dec((out / c.vae.scaling_factor).astype(jnp.bfloat16))[0]
                 u8 = denormalize_to_u8(img_out)
                 h, w = image_u8.shape[:2]
@@ -915,12 +912,12 @@ class ModelZoo:
             vpx = jnp.zeros((1, c.vision.image_size, c.vision.image_size, 3),
                             jnp.float32)
             vp = load_params(vis, (vpx,), self._wf("clip_vision"), self.seed)
-            vfn = jax.jit(lambda px: vis.apply(vp, px))
+            vfn = jit_apply(vis, vp)
 
             tm = CLIPTextModel(c.text, proj_dim=c.vision.proj_dim)
             ids = jnp.zeros((1, c.text.max_len), jnp.int32)
             tp = load_params(tm, (ids,), self._wf("clip_text_proj"), self.seed)
-            tfn = jax.jit(lambda ids: tm.apply(tp, ids))
+            tfn = jit_apply(tm, tp)
 
             def _prep(image_u8):
                 px = resize_image(jnp.asarray(image_u8, jnp.float32) / 255.0,
@@ -958,7 +955,7 @@ class ModelZoo:
             vpx = jnp.zeros((1, c.vision.image_size, c.vision.image_size, 3),
                             jnp.float32)
             vp = load_params(vis, (vpx,), self._wf("clip_vision"), self.seed)
-            vfn = jax.jit(lambda px: vis.apply(vp, px))
+            vfn = jit_apply(vis, vp)
 
             def tokens(image_u8):
                 px = resize_image(jnp.asarray(image_u8, jnp.float32) / 255.0,
@@ -977,7 +974,7 @@ class ModelZoo:
             s = c.depth_cfg.backbone.img_size
             px = jnp.zeros((1, s, s, 3), jnp.float32)
             params = load_params(m, (px,), self._wf("depth"), self.seed)
-            fn = jax.jit(lambda px: m.apply(params, px))
+            fn = jit_apply(m, params)
 
             def depth(image_u8):
                 h, w = image_u8.shape[:2]
@@ -998,7 +995,7 @@ class ModelZoo:
             size = c.canvas.edit_size
             px = jnp.zeros((1, size, size, 3), jnp.float32)
             params = load_params(m, (px,), self._wf("hed"), self.seed)
-            fn = jax.jit(lambda px: m.apply(params, px))
+            fn = jit_apply(m, params)
 
             def hed(image_u8):
                 h, w = image_u8.shape[:2]
@@ -1017,7 +1014,7 @@ class ModelZoo:
             s = c.canvas.edit_size   # Swin is size-agnostic; pin one bucket
             px = jnp.zeros((1, s, s, 3), jnp.float32)
             params = load_params(m, (px,), self._wf("seg"), self.seed)
-            fn = jax.jit(lambda px: m.apply(params, px))
+            fn = jit_apply(m, params)
 
             def seg(image_u8):
                 h, w = image_u8.shape[:2]
@@ -1510,7 +1507,7 @@ class ModelZoo:
             px = jnp.zeros((1, s, s, 3), jnp.float32)
             ids = jnp.zeros((1, ml), jnp.int32)
             params = load_params(m, (px, ids), self._wf("vila"), self.seed)
-            fn = jax.jit(lambda px, ids: m.apply(params, px, ids))
+            fn = jit_apply(m, params)
             vocab = vcfg.lm.vocab_size
             yes_id = int(self._ids("yes", 3, vocab)[0, 1])
             no_id = int(self._ids("no", 3, vocab)[0, 1])
@@ -1535,7 +1532,7 @@ class ModelZoo:
             mlp = AestheticMLP()
             z = jnp.zeros((1, self.cfg.vision.proj_dim))
             params = load_params(mlp, (z,), self._wf("aesthetic"), self.seed)
-            fn = jax.jit(lambda e: mlp.apply(params, e))
+            fn = jit_apply(mlp, params)
 
             def score(image_u8) -> float:
                 return float(fn(clip_image(image_u8))[0])
@@ -1626,20 +1623,18 @@ class ModelZoo:
             ids0 = jnp.zeros((1, ocr_cfg.max_tokens), jnp.int32)
             params = load_params(model, (vpx, ids0), self._wf("ocr"),
                                  self.seed)
-            encode = jax.jit(lambda px: model.apply(
-                params, px, method=GotOCR.encode_image))
+            encode = jit_apply(model, params, method=GotOCR.encode_image)
 
             qtok = Qwen2Tokenizer.from_dir(self.weights) if self.weights \
                 else None
             if qtok is not None:
                 prefix, suffix = got_prompt_ids(qtok)
                 pre = jnp.asarray([prefix], jnp.int32)
-                fn = jax.jit(lambda it, ids: model.apply(
-                    params, it, pre, ids, method=GotOCR.lm_logits_chat))
+                fn_chat = jit_apply(model, params, method=GotOCR.lm_logits_chat)
+                fn = lambda it, ids: fn_chat(it, pre, ids)
             else:
                 suffix = None
-                fn = jax.jit(lambda it, ids: model.apply(
-                    params, it, ids, method=GotOCR.lm_logits))
+                fn = jit_apply(model, params, method=GotOCR.lm_logits)
 
             def read(image_u8) -> str:
                 px = resize_image(jnp.asarray(image_u8, jnp.float32) / 255.0,
@@ -1672,7 +1667,7 @@ class ModelZoo:
             vpx = jnp.zeros((1, c.eva.image_size, c.eva.image_size, 3),
                             jnp.float32)
             vp = load_params(vis, (vpx,), self._wf("eva_vit"), self.seed)
-            vfn = jax.jit(lambda px: vis.apply(vp, px))
+            vfn = jit_apply(vis, vp)
 
             vqa = Blip2VQA(c.qformer)
             n_tok = (c.eva.image_size // c.eva.patch) ** 2 + 1
@@ -1681,7 +1676,7 @@ class ModelZoo:
             qi = jnp.zeros((1, ml), jnp.int32)
             qm = jnp.ones((1, ml), bool)
             params = load_params(vqa, (it, qi, qm), self._wf("blip2"), self.seed)
-            fn = jax.jit(lambda it, qi, qm: vqa.apply(params, it, qi, qm))
+            fn = jit_apply(vqa, params)
             vocab = c.qformer.lm.vocab_size
             # first-token ids of "yes"/"no": real SentencePiece pieces when
             # spiece.model ships with the weights, hash fallback otherwise

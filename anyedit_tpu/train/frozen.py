@@ -42,44 +42,43 @@ def load_frozen_encoders(vae_cfg, text_cfg, vis_cfg,
     """Build + load the frozen towers (weight names match the zoo/convert
     registry: vae / clip_text / clip_vision / unet_ip2p .msgpack)."""
     wdir = Path(weights_dir) if weights_dir else None
+    if require and wdir is None:
+        raise ValueError("require_weights=True needs a weights_dir "
+                         "(otherwise every frozen tower would silently "
+                         "random-init)")
 
     def wf(name):
-        if wdir is None:
-            return None
-        p = wdir / f"{name}.msgpack"
-        if require and not p.exists():
-            raise FileNotFoundError(
-                f"required weights missing: {p}; convert the checkpoint "
-                "first (`anyedit_tpu convert`) or drop --require-weights")
-        return p
+        return (wdir / f"{name}.msgpack") if wdir is not None else None
 
     vae = AutoencoderKL(vae_cfg)
     text = CLIPTextEncoder(text_cfg)
     vision = CLIPVisionEncoder(vis_cfg)
     vae_p = load_params(
-        vae, (jnp.zeros((1, resolution, resolution, 3)),), wf("vae"), seed)
+        vae, (jnp.zeros((1, resolution, resolution, 3)),), wf("vae"), seed,
+        require=require)
     text_p = load_params(
         text, (jnp.zeros((1, text_cfg.max_len), jnp.int32),),
-        wf("clip_text"), seed)
+        wf("clip_text"), seed, require=require)
     vis_p = load_params(
         vision, (jnp.zeros((1, vis_cfg.image_size, vis_cfg.image_size, 3)),),
-        wf("clip_vision"), seed)
+        wf("clip_vision"), seed, require=require)
     unet_p = None
     unet_wf = wf("unet_ip2p")
     if unet_wf is not None and unet_wf.exists():
         from flax.serialization import msgpack_restore
         unet_p = msgpack_restore(unet_wf.read_bytes())
+    elif unet_wf is not None and require:
+        raise FileNotFoundError(
+            f"required weights missing: {unet_wf}; convert the checkpoint "
+            "first (`anyedit_tpu convert`) or drop --require-weights")
 
     # Only the CLIP BPE matters for training (no grounding text here);
     # fail-loud like ModelZoo when weights exist but the merges don't.
     from anyedit_tpu.models.clip_tokenizer import (
-        ClipBPETokenizer, SimpleClipTokenizer)
+        ClipBPETokenizer, SimpleClipTokenizer, find_clip_merges)
     merges = None
     if wdir is not None:
-        merges = next((p for p in (wdir / "bpe_simple_vocab_16e6.txt.gz",
-                                   wdir / "clip_merges.txt.gz",
-                                   wdir / "clip_merges.txt")
-                       if p.exists()), None)
+        merges = find_clip_merges(wdir)
         if merges is None and not allow_fallback_tokenizers:
             raise FileNotFoundError(
                 f"weights_dir={wdir} is set but the CLIP BPE merges are "

@@ -59,12 +59,12 @@ class AnySDEditor:
         self._tokenize = tokenize
 
         @functools.partial(jax.jit, static_argnames=("steps",))
-        def _run(adapter_p, unet_p, lat_in, ids, emb, task, k, steps,
-                 s_txt, s_img):
-            hidden, _ = f.text.apply(f.text_params, ids)
+        def _run_jit(text_p, adapter_p, unet_p, lat_in, ids, emb, task, k,
+                     steps, s_txt, s_img):
+            hidden, _ = f.text.apply(text_p, ids)
             tok = self.trainer.adapter.apply(adapter_p, emb, task)
             cond = jnp.concatenate([hidden, tok.astype(hidden.dtype)], 1)
-            hid_u, _ = f.text.apply(f.text_params, jnp.zeros_like(ids))
+            hid_u, _ = f.text.apply(text_p, jnp.zeros_like(ids))
             uncond = jnp.concatenate([hid_u, tok.astype(hidden.dtype)], 1)
 
             def eps_fn(x, t, c_):
@@ -73,6 +73,10 @@ class AnySDEditor:
             return ip2p_edit(eps_fn, self.trainer.ns, lat_in, cond, uncond,
                              k, num_steps=steps, guidance_scale=s_txt,
                              image_guidance_scale=s_img)
+
+        def _run(adapter_p, unet_p, *a, **k):
+            # text params threaded as a traced jit argument (core/jit.py)
+            return _run_jit(f.text_params, adapter_p, unet_p, *a, **k)
 
         self._run = _run
 

@@ -123,6 +123,11 @@ def _sam(src):
     bx = jnp.zeros((1, MAX_BOXES, 4), jnp.float32)
     tree = _abstract(m, px, bx)
     src = dict(src)
+    # HF mirror (facebook/sam-vit-huge) ships `vision_encoder.*` naming;
+    # rename to the original checkpoint layout the converter consumes —
+    # SAME path `--verify` exercises, so the gate gates what is written.
+    if any(k.startswith("vision_encoder.") for k in src):
+        src = C.hf_sam_to_original(src)
     if "prompt_encoder.box_corner_embeddings" not in src:
         src["prompt_encoder.box_corner_embeddings"] = np.stack(
             [np.asarray(src["prompt_encoder.point_embeddings.2.weight"])[0],
@@ -138,6 +143,10 @@ def _gdino(src):
     ids = jnp.zeros((1, cfg.max_text_len), jnp.int32)
     msk = jnp.ones((1, cfg.max_text_len), bool)
     tree = _abstract(m, px, ids, msk)
+    # HF mirror (IDEA-Research/grounding-dino-*) nests everything under
+    # `model.*` — route to the HF converter, same as `--verify` does.
+    if any(k.startswith("model.") for k in src):
+        return C.convert_gdino_hf(tree, src)
     return C.convert_gdino(tree, src)
 
 
@@ -163,6 +172,11 @@ def _depth(src):
     m = DepthAnythingV2(DEPTH_ANYTHING_L)
     s_ = DEPTH_ANYTHING_L.backbone.img_size
     tree = _abstract(m, jnp.zeros((1, s_, s_, 3), jnp.float32))
+    # HF mirror (depth-anything/...-hf) uses backbone./neck./head. naming;
+    # rename to the official DA-V2 layout — same path `--verify` exercises.
+    if any(k.startswith("backbone.") for k in src):
+        src = C.hf_depth_to_official(src,
+                                     DEPTH_ANYTHING_L.backbone.depth)
     return C.convert_depth_anything(tree, src)
 
 

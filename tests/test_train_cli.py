@@ -156,6 +156,12 @@ def test_frozen_encoders_load_converted_weights(tmp_path):
                              require=True, resolution=32,
                              allow_fallback_tokenizers=True)
 
+    # require=True with NO weights_dir must raise, not random-init every
+    # tower (the exact silent failure --require-weights exists to prevent)
+    with pytest.raises(ValueError, match="weights_dir"):
+        load_frozen_encoders(vae_cfg, text_cfg, vis_cfg, weights_dir=None,
+                             require=True, resolution=32)
+
 
 def test_train_cli_weights_dir_and_validation_grid(tmp_path, capsys):
     led = _make_ledger(tmp_path)

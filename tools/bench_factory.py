@@ -36,6 +36,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import numpy as np
 
+# --tiny is hermetic logic validation: run it on host CPU, not the chip
+# (the axon sitecustomize registers the TPU backend at interpreter start,
+# so the env var alone is not enough — set the config after import).
+if "--tiny" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+
 # the tunneled remote-compile is the dominant cost of a cold run; persist
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(os.path.dirname(
@@ -44,8 +50,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+    n = int(pos[0]) if pos else 8
+    steps = int(pos[1]) if len(pos) > 1 else 50
 
     import dataclasses
     import anyedit_tpu.runtime.executor as executor_mod
@@ -130,31 +137,78 @@ def main():
         output_root=out_root, run_pre_filter=True, run_post_filter=True,
         save_images=False, grounding_batch=0))
 
-    # warm: one record of each type compiles every program (incremental
-    # prints so a timeout still leaves per-stage compile evidence)
-    t0 = time.perf_counter()
-    for i, r in enumerate(records[:2]):
-        ex.run([records[i]], lambda r: img)
-        print(f"# warm-up {r.edit_type}: t={time.perf_counter()-t0:.1f}s",
-              file=sys.stderr, flush=True)
-    compile_s = time.perf_counter() - t0
-    print(f"# warm-up (compile) {compile_s:.1f}s", file=sys.stderr, flush=True)
+    # The tunneled backend in this environment has a finite session
+    # lifetime (~1h): a long all-types warm-up followed by one combined
+    # measurement dies at measure start. Instead, warm and MEASURE each
+    # edit-type group back-to-back, emitting a partial JSON line per group
+    # — a session death later still leaves earlier groups' numbers.
+    by_type: dict[str, list] = {}
+    for r in records:
+        by_type.setdefault(r.edit_type, []).append(r)
 
-    ex2 = FactoryExecutor(tb, ExecutorConfig(
-        output_root=out_root + "2", run_pre_filter=True,
-        run_post_filter=True, save_images=False, grounding_batch=0))
-    t0 = time.perf_counter()
-    report = ex2.run(records, lambda r: img)
-    dt = time.perf_counter() - t0
+    # stall forensics: if the tunnel wedges mid-record, dump every thread's
+    # stack to stderr periodically so the log shows WHERE it died.
+    import faulthandler
+    faulthandler.dump_traceback_later(600, repeat=True, exit=False,
+                                      file=sys.stderr)
 
-    stages = {k: {"calls": v["count"], "total_s": v["total_s"]}
-              for k, v in report["stages"].items()}
-    print(json.dumps({
-        "records": n, "steps": steps, "seconds": round(dt, 2),
-        "records_per_hour_chip": round(n / dt * 3600, 1),
-        "counts": report["counts"], "stages": stages,
+    results = {}
+    total_records = 0
+    total_s = 0.0
+    for et, group in by_type.items():
+        t0 = time.perf_counter()
+        ex.run([group[0]], lambda r: img)
+        compile_s = time.perf_counter() - t0
+        print(f"# warm-up {et}: {compile_s:.1f}s", file=sys.stderr,
+              flush=True)
+
+        # measure per-record (one run() per record): a tunnel death mid-
+        # group still leaves every earlier record's wall time on record.
+        dt = 0.0
+        counts = {"success": 0, "failure": 0, "filtered": 0}
+        stages: dict[str, dict] = {}
+        for j, rec in enumerate(group):
+            exm = FactoryExecutor(tb, ExecutorConfig(
+                output_root=f"{out_root}_{et}_{j}", run_pre_filter=True,
+                run_post_filter=True, save_images=False, grounding_batch=0))
+            t0 = time.perf_counter()
+            rep = exm.run([rec], lambda r: img)
+            rdt = time.perf_counter() - t0
+            dt += rdt
+            for k, v in rep["counts"].items():
+                counts[k] = counts.get(k, 0) + v
+            for k, v in rep["stages"].items():
+                s = stages.setdefault(k, {"calls": 0, "total_s": 0.0})
+                s["calls"] += v["count"]
+                s["total_s"] = round(s["total_s"] + v["total_s"], 3)
+            print(f"# {et}[{j}]: {rdt:.2f}s", file=sys.stderr, flush=True)
+        res = {"edit_type": et, "records": len(group),
+               "seconds": round(dt, 2),
+               "records_per_hour_chip": round(len(group) / dt * 3600, 1),
+               "counts": counts, "stages": stages}
+        print(json.dumps({"partial": res}), flush=True)
+        results[et] = res
+        total_records += len(group)
+        total_s += dt
+
+    final = {
+        "records": total_records, "steps": steps,
+        "seconds": round(total_s, 2),
+        "records_per_hour_chip": round(total_records / total_s * 3600, 1)
+        if total_s else None,
+        "per_type": results,
+        "measured_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "device": str(jax.devices()[0]),
         "note": "reduced grounding configs; see module docstring for "
-                "FLOP scaling to production buckets"}))
+                "FLOP scaling to production buckets"}
+    print(json.dumps(final))
+    # persist as the committed record bench.py rides along (the full
+    # stream is too compile-heavy for the driver's bench window)
+    if "--tiny" not in sys.argv:
+        out = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "docs", "factory_bench.json")
+        with open(out, "w") as f:
+            json.dump(final, f, indent=1)
 
 
 if __name__ == "__main__":
