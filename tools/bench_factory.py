@@ -191,12 +191,46 @@ def main():
         total_records += len(group)
         total_s += dt
 
+    # batched pass (production path): ONE executor per group with
+    # grounding_batch=group size → ground.batch + chunked CLIP scoring +
+    # double-buffered IO all engage. Runs LAST so a tunnel death here still
+    # leaves the per-record numbers above. Each record gets its OWN image
+    # copy: the executor's embed caches key on id(image), and one shared
+    # array would collapse the chunk to a single CLIP/ground forward.
+    batched = {}
+    for et, group in by_type.items():
+        try:
+            imgs = {r.key(): img.copy() for r in group}
+            exb = FactoryExecutor(tb, ExecutorConfig(
+                output_root=f"{out_root}_b_{et}", run_pre_filter=True,
+                run_post_filter=True, save_images=False,
+                grounding_batch=len(group)))
+            exb.run(group, lambda r: imgs[r.key()])   # warm batch programs
+            exb2 = FactoryExecutor(tb, ExecutorConfig(
+                output_root=f"{out_root}_b2_{et}", run_pre_filter=True,
+                run_post_filter=True, save_images=False,
+                grounding_batch=len(group)))
+            t0 = time.perf_counter()
+            rep = exb2.run(group, lambda r: imgs[r.key()])
+            bdt = time.perf_counter() - t0
+            batched[et] = {
+                "records": len(group), "seconds": round(bdt, 2),
+                "records_per_hour_chip": round(len(group) / bdt * 3600, 1),
+                "stages": {k: {"calls": v["count"], "total_s": v["total_s"]}
+                           for k, v in rep["stages"].items()}}
+            print(json.dumps({"partial_batched": batched[et]}), flush=True)
+        except Exception as e:
+            print(f"# batched {et} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+            break
+
     final = {
         "records": total_records, "steps": steps,
         "seconds": round(total_s, 2),
         "records_per_hour_chip": round(total_records / total_s * 3600, 1)
         if total_s else None,
         "per_type": results,
+        "batched_per_type": batched,
         "measured_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "device": str(jax.devices()[0]),
         "note": "reduced grounding configs; see module docstring for "
