@@ -69,7 +69,15 @@ class InstructionGenerator:
                  batch_size: int = 16) -> list[InstructionRecord]:
         rng = random.Random(self.seed)
         if edit_type == "composition":
-            return [self._composition_record(c, rng) for c in captions]
+            recs: list[InstructionRecord] = []
+            for i in range(0, len(captions), batch_size):
+                batch = captions[i:i + batch_size]
+                plans = generate_canvas_plans(batch, self.llm, rng)
+                recs.extend(InstructionRecord(
+                    edit=f"compose: {c}", input=c, output=c,
+                    edit_type="composition", extras={"canvas_plan": p})
+                    for c, p in zip(batch, plans))
+            return recs
         records: list[InstructionRecord] = []
         for i in range(0, len(captions), batch_size):
             batch = captions[i:i + batch_size]
@@ -89,32 +97,35 @@ class InstructionGenerator:
                     edit_type=edit_type, edited_object=p["edited_object"]))
         return records
 
-    def _composition_record(self, caption: str,
-                            rng: random.Random) -> InstructionRecord:
-        plan = generate_canvas_plan(caption, self.llm, rng)
-        return InstructionRecord(
-            edit=f"compose: {caption}", input=caption, output=caption,
-            edit_type="composition", extras={"canvas_plan": plan})
+def generate_canvas_plans(captions: Sequence[str], llm: LLMFn,
+                          rng: random.Random) -> list[str]:
+    """Captions → Omost-style canvas plan texts in the
+    `diffusion/regional.py::parse_canvas_plan` line format
+    (composition_image_generation.py:40-62 — the reference drives
+    Omost-llama-3-8b; here the harness LLM answers few-shot prompts, one
+    batched call per caption chunk, and an invalid answer falls back to a
+    deterministic single-subject plan)."""
+    from anyedit_tpu.diffusion.regional import parse_canvas_plan
+    from anyedit_tpu.instructions.prompts import canvas_plan_prompt
+
+    raws = llm([canvas_plan_prompt(c, rng) for c in captions])
+    plans: list[str] = []
+    for caption, raw in zip(captions, raws):
+        g, regions = parse_canvas_plan(raw)
+        if g and regions:
+            plans.append(raw)
+            continue
+        tags = generate_tags(caption)
+        obj = tags["nouns"][0] if tags["nouns"] else "subject"
+        plans.append(f"global: {caption}\n"
+                     f"region: 0.2,0.2,0.8,0.9 | a {obj}")
+    return plans
 
 
 def generate_canvas_plan(caption: str, llm: LLMFn,
                          rng: random.Random) -> str:
-    """Caption → Omost-style canvas plan text in the
-    `diffusion/regional.py::parse_canvas_plan` line format
-    (composition_image_generation.py:40-62 — the reference drives
-    Omost-llama-3-8b; here the harness LLM answers a few-shot prompt, and
-    an invalid answer falls back to a deterministic single-subject plan)."""
-    from anyedit_tpu.diffusion.regional import parse_canvas_plan
-    from anyedit_tpu.instructions.prompts import canvas_plan_prompt
-
-    raw = llm([canvas_plan_prompt(caption, rng)])[0]
-    g, regions = parse_canvas_plan(raw)
-    if g and regions:
-        return raw
-    tags = generate_tags(caption)
-    obj = tags["nouns"][0] if tags["nouns"] else "subject"
-    return (f"global: {caption}\n"
-            f"region: 0.2,0.2,0.8,0.9 | a {obj}")
+    """Single-caption convenience wrapper over `generate_canvas_plans`."""
+    return generate_canvas_plans([caption], llm, rng)[0]
 
 
 # ---- rule-based generators (other_instruction_gen.py:55-312) -------------

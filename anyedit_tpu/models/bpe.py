@@ -109,8 +109,16 @@ class Qwen2Tokenizer:
         ids: list[int] = []
         for tok in self._re.findall(text):
             tok = "".join(self.byte_enc[b] for b in tok.encode("utf-8"))
-            ids.extend(self.encoder[p] for p in self._bpe(tok)
-                       if p in self.encoder)
+            for p in self._bpe(tok):
+                # byte-level BPE closes over its merge table: every piece a
+                # merge produces must be in the vocab. A miss means the
+                # vocab/merges pair is corrupt or mismatched — fail loudly
+                # rather than silently dropping characters from the prompt.
+                if p not in self.encoder:
+                    raise ValueError(
+                        f"BPE piece {p!r} missing from vocab — "
+                        "qwen_vocab.json / qwen_merges.txt mismatch")
+                ids.append(self.encoder[p])
         return ids
 
     def encode_chat(self, segments: list[str | int]) -> list[int]:

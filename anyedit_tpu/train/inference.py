@@ -80,6 +80,26 @@ class AnySDEditor:
 
         self._run = _run
 
+        # pre/post towers jitted too (params as traced args, core/jit.py):
+        # VAE encode + CLIP-vision and VAE decode each compile ONE program
+        # instead of dispatching op-by-op per edit / validation image.
+        @jax.jit
+        def _prep_jit(vae_p, vis_p, px):
+            mean, _ = f.vae.apply(vae_p, px, method=type(f.vae).encode)
+            vpx = resize_image(px * 0.5 + 0.5, f.vision.cfg.image_size,
+                               f.vision.cfg.image_size, "bilinear")
+            _, emb = f.vision.apply(vis_p, imagenet_normalize(vpx))
+            return mean, emb
+
+        @jax.jit
+        def _decode_jit(vae_p, out):
+            img = f.vae.apply(vae_p, out / self._sf,
+                              method=type(f.vae).decode)[0]
+            return jnp.clip((img.astype(jnp.float32) + 1.0) * 127.5, 0, 255)
+
+        self._prep = lambda px: _prep_jit(f.vae_params, f.vision_params, px)
+        self._decode = lambda out: _decode_jit(f.vae_params, out)
+
     @classmethod
     def from_checkpoint(cls, cfg: AnySDConfig, checkpoint_dir: str | Path,
                         weights_dir: Optional[str | Path] = None,
@@ -135,17 +155,12 @@ class AnySDEditor:
         h0, w0 = image_u8.shape[:2]
         px = resize_image(jnp.asarray(image_u8, jnp.float32)[None] / 127.5
                           - 1.0, res, res, "bilinear")
-        mean, _ = f.vae.apply(f.vae_params, px, method=type(f.vae).encode)
+        mean, emb = self._prep(px)
         ids = jnp.asarray(self._tokenize(instruction))
-        vpx = resize_image(px * 0.5 + 0.5, f.vision.cfg.image_size,
-                           f.vision.cfg.image_size, "bilinear")
-        _, emb = f.vision.apply(f.vision_params, imagenet_normalize(vpx))
         task = jnp.asarray([expert_id(edit_type)], jnp.int32)
         out = self._run(adapter_p, self.unet_params, mean * self._sf, ids,
                         emb, task, jax.random.key(seed), steps,
                         float(text_scale), float(image_scale))
-        img = f.vae.apply(f.vae_params, out / self._sf,
-                          method=type(f.vae).decode)[0]
-        img = jnp.clip((img.astype(jnp.float32) + 1.0) * 127.5, 0, 255)
+        img = self._decode(out)
         img = resize_image(img[None], h0, w0, "bilinear")[0]
         return np.asarray(img).astype(np.uint8)

@@ -125,10 +125,13 @@ def main():
             edit_type=et, edited_object="square",
             image_file=f"synthetic_{i}.png"))
 
-    # color_alter runs ip2p at `steps`; patch the default through the edit
-    # pipelines by wrapping tb.ip2p
+    # color_alter hardcodes the reference's 100 DDIM steps
+    # (edits/global_.py:39, global_tool.py:76); force the benchmark's
+    # `steps` through ALWAYS so the reported step count matches the
+    # measured compute (previously the override skipped the default 50
+    # and silently measured 100-step edits labeled "steps": 50).
     real_ip2p = tb.ip2p
-    if real_ip2p is not None and steps != 50:
+    if real_ip2p is not None:
         tb.ip2p = lambda *a, **k: real_ip2p(*a, **{**k, "steps": steps})
 
     import tempfile
@@ -224,17 +227,36 @@ def main():
                   file=sys.stderr, flush=True)
             break
 
+    # honest accounting: at random weights the edit-stage self-verify can
+    # fail records, which then exit BEFORE post_filter — those records
+    # traverse a shorter compute path, so a blended records/hr overstates
+    # the full-path rate. Report the blended number with its composition
+    # and a full-path-only rate computed from success records' share.
+    agg = {"success": 0, "failure": 0, "filtered": 0}
+    full_path_s = 0.0
+    full_path_n = 0
+    for et, res in results.items():
+        for k, v in res["counts"].items():
+            agg[k] = agg.get(k, 0) + v
+        if res["counts"].get("failure", 0) == 0 and res["records"]:
+            full_path_n += res["records"]
+            full_path_s += res["seconds"]
     final = {
         "records": total_records, "steps": steps,
         "seconds": round(total_s, 2),
         "records_per_hour_chip": round(total_records / total_s * 3600, 1)
         if total_s else None,
+        "counts": agg,
+        "full_path_records_per_hour_chip": round(
+            full_path_n / full_path_s * 3600, 1) if full_path_s else None,
         "per_type": results,
         "batched_per_type": batched,
         "measured_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "device": str(jax.devices()[0]),
         "note": "reduced grounding configs; see module docstring for "
-                "FLOP scaling to production buckets"}
+                "FLOP scaling to production buckets. records_per_hour_chip "
+                "blends success+failure records (failures skip post_filter); "
+                "full_path rate counts only all-success groups"}
     print(json.dumps(final))
     # persist as the committed record bench.py rides along (the full
     # stream is too compile-heavy for the driver's bench window)
