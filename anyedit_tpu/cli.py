@@ -97,6 +97,9 @@ def cmd_run(args) -> int:
         return 1
 
     zoo_cfg = tiny_zoo_config() if args.tiny else ZooConfig()
+    if getattr(args, "int8", False):
+        import dataclasses as _dc
+        zoo_cfg = _dc.replace(zoo_cfg, quant_ip2p=True)
     zoo = ModelZoo(zoo_cfg, weights_dir=args.weights, seed=args.seed,
                    require_weights=args.require_weights)
 
@@ -425,6 +428,9 @@ def main(argv=None) -> int:
                     help="device-batch N records' first grounding (0=off)")
     pr.add_argument("--no-filters", action="store_true",
                     help="skip pre/post gates (random-weight smoke runs)")
+    pr.add_argument("--int8", action="store_true",
+                    help="W8A8 int8 UNet fast mode for the IP2P editor "
+                         "(ops/quant.py; ~2x MXU int8 peak on v5e)")
     _add_shard_args(pr)
     pr.set_defaults(fn=cmd_run)
 

@@ -52,13 +52,20 @@ class MultiHeadAttention(nn.Module):
     is_self: bool
     dtype: Any = jnp.bfloat16
     qkv_bias: bool = False
+    quant: bool = False      # W8A8 projections (ops/quant.py fast mode)
 
     @nn.compact
     def __call__(self, x, context=None, processor: AttnProcessor | None = None,
                  extra=None):
         context = x if context is None else context
         inner = self.num_heads * self.head_dim
-        dense = lambda n, d: nn.Dense(d, use_bias=self.qkv_bias, dtype=self.dtype, name=n)
+        if self.quant:
+            from anyedit_tpu.ops.quant import QuantDense
+            dense = lambda n, d, b=self.qkv_bias: QuantDense(
+                d, use_bias=b, dtype=self.dtype, name=n)
+        else:
+            dense = lambda n, d, b=self.qkv_bias: nn.Dense(
+                d, use_bias=b, dtype=self.dtype, name=n)
         q = dense("to_q", inner)(x)
         k = dense("to_k", inner)(context)
         v = dense("to_v", inner)(context)
@@ -70,7 +77,7 @@ class MultiHeadAttention(nn.Module):
         proc = processor or default_processor
         out = proc(q, k, v, meta, extra)
         out = out.transpose(0, 2, 1, 3).reshape(b, lq, inner)
-        return nn.Dense(self.out_dim, dtype=self.dtype, name="to_out")(out)
+        return dense("to_out", self.out_dim, True)(out)
 
 
 class GroupNorm(nn.Module):
@@ -157,9 +164,16 @@ class Conv3x3(nn.Module):
     features: int
     stride: int = 1
     dtype: Any = jnp.bfloat16
+    quant: bool = False      # W8A8 (ops/quant.py); inner module keeps the
+                             # float auto-name "Conv_0" so param paths match
 
     @nn.compact
     def __call__(self, x):
+        if self.quant:
+            from anyedit_tpu.ops.quant import QuantConv
+            return QuantConv(self.features, (3, 3), self.stride,
+                             ((1, 1), (1, 1)), dtype=self.dtype,
+                             name="Conv_0")(x)
         return nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
                        padding=((1, 1), (1, 1)), dtype=self.dtype)(x)
 
@@ -167,10 +181,16 @@ class Conv3x3(nn.Module):
 class GEGLU(nn.Module):
     dim_out: int
     dtype: Any = jnp.bfloat16
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Dense(self.dim_out * 2, dtype=self.dtype)(x)
+        if self.quant:
+            from anyedit_tpu.ops.quant import QuantDense
+            h = QuantDense(self.dim_out * 2, dtype=self.dtype,
+                           name="Dense_0")(x)
+        else:
+            h = nn.Dense(self.dim_out * 2, dtype=self.dtype)(x)
         a, g = jnp.split(h, 2, axis=-1)
         return a * jax.nn.gelu(g)
 
@@ -178,9 +198,13 @@ class GEGLU(nn.Module):
 class FeedForward(nn.Module):
     mult: int = 4
     dtype: Any = jnp.bfloat16
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
         dim = x.shape[-1]
-        h = GEGLU(dim * self.mult, dtype=self.dtype)(x)
+        h = GEGLU(dim * self.mult, dtype=self.dtype, quant=self.quant)(x)
+        if self.quant:
+            from anyedit_tpu.ops.quant import QuantDense
+            return QuantDense(dim, dtype=self.dtype, name="Dense_0")(h)
         return nn.Dense(dim, dtype=self.dtype)(h)

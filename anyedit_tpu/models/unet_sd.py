@@ -50,6 +50,11 @@ class UNetConfig:
     addition_embed_dim: int = 0
     addition_time_dim: int = 0
     dtype: Any = jnp.bfloat16
+    # W8A8 int8 fast mode (ops/quant.py): quantizes the body convs and
+    # transformer projections; conv_in/conv_out/time embeds stay bf16.
+    # Param tree changes (kernel → kernel_q + kernel_scale); convert a
+    # float checkpoint with ops.quant.quantize_params.
+    quant: bool = False
 
     def heads(self, channels: int) -> int:
         if self.num_heads:
@@ -97,14 +102,23 @@ class ResBlock(nn.Module):
     def __call__(self, x, temb):
         c = self.cfg
         h = GroupNorm(c.num_groups, silu=True, dtype=c.dtype, name="norm1")(x)
-        h = Conv3x3(self.out_channels, dtype=c.dtype, name="conv1")(h)
+        h = Conv3x3(self.out_channels, dtype=c.dtype, quant=c.quant,
+                    name="conv1")(h)
         t = nn.silu(temb)
         t = nn.Dense(self.out_channels, dtype=c.dtype, name="time_emb_proj")(t)
         h = h + t[:, None, None, :]
         h = GroupNorm(c.num_groups, silu=True, dtype=c.dtype, name="norm2")(h)
-        h = Conv3x3(self.out_channels, dtype=c.dtype, name="conv2")(h)
+        h = Conv3x3(self.out_channels, dtype=c.dtype, quant=c.quant,
+                    name="conv2")(h)
         if x.shape[-1] != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), dtype=c.dtype, name="skip")(x)
+            if c.quant:
+                from anyedit_tpu.ops.quant import QuantConv
+                x = QuantConv(self.out_channels, (1, 1),
+                              padding=((0, 0), (0, 0)), dtype=c.dtype,
+                              name="skip")(x)
+            else:
+                x = nn.Conv(self.out_channels, (1, 1), dtype=c.dtype,
+                            name="skip")(x)
         return x + h
 
 
@@ -120,14 +134,16 @@ class TransformerBlock(nn.Module):
         hd = inner // self.heads
         h = LayerNorm(dtype=c.dtype, name="norm1")(x)
         x = x + MultiHeadAttention(self.heads, hd, inner, f"{self.name_tag}.self",
-                                   True, dtype=c.dtype, name="attn1")(
+                                   True, dtype=c.dtype, quant=c.quant,
+                                   name="attn1")(
             h, None, processor, extra)
         h = LayerNorm(dtype=c.dtype, name="norm2")(x)
         x = x + MultiHeadAttention(self.heads, hd, inner, f"{self.name_tag}.cross",
-                                   False, dtype=c.dtype, name="attn2")(
+                                   False, dtype=c.dtype, quant=c.quant,
+                                   name="attn2")(
             h, context, processor, extra)
         h = LayerNorm(dtype=c.dtype, name="norm3")(x)
-        x = x + FeedForward(dtype=c.dtype, name="ff")(h)
+        x = x + FeedForward(dtype=c.dtype, quant=c.quant, name="ff")(h)
         return x
 
 
@@ -143,13 +159,19 @@ class SpatialTransformer(nn.Module):
         heads = c.heads(ch)
         res = x
         x = GroupNorm(c.num_groups, dtype=c.dtype, name="norm")(x)
-        x = nn.Conv(ch, (1, 1), dtype=c.dtype, name="proj_in")(x)
+        if c.quant:
+            from anyedit_tpu.ops.quant import QuantConv
+            proj = lambda n: QuantConv(ch, (1, 1), padding=((0, 0), (0, 0)),
+                                       dtype=c.dtype, name=n)
+        else:
+            proj = lambda n: nn.Conv(ch, (1, 1), dtype=c.dtype, name=n)
+        x = proj("proj_in")(x)
         x = x.reshape(b, hh * ww, ch)
         for d in range(self.depth):
             x = TransformerBlock(c, heads, f"{self.name_tag}.tb{d}",
                                  name=f"block_{d}")(x, context, processor, extra)
         x = x.reshape(b, hh, ww, ch)
-        x = nn.Conv(ch, (1, 1), dtype=c.dtype, name="proj_out")(x)
+        x = proj("proj_out")(x)
         return x + res
 
 
@@ -202,7 +224,8 @@ class UNet2DCondition(nn.Module):
                         h, context, processor, extra)
                 skips.append(h)
             if lvl != len(c.block_channels) - 1:
-                h = Conv3x3(ch, stride=2, dtype=c.dtype, name=f"down_{lvl}_ds")(h)
+                h = Conv3x3(ch, stride=2, dtype=c.dtype, quant=c.quant,
+                            name=f"down_{lvl}_ds")(h)
                 skips.append(h)
 
         # mid
@@ -237,7 +260,8 @@ class UNet2DCondition(nn.Module):
             if lvl != 0:
                 # nearest-neighbor 2x upsample + conv (SD convention)
                 h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
-                h = Conv3x3(h.shape[-1], dtype=c.dtype, name=f"up_{lvl}_us")(h)
+                h = Conv3x3(h.shape[-1], dtype=c.dtype, quant=c.quant,
+                            name=f"up_{lvl}_us")(h)
 
         h = GroupNorm(c.num_groups, silu=True, dtype=c.dtype, name="norm_out")(h)
         h = Conv3x3(c.out_channels, dtype=c.dtype, name="conv_out")(h)

@@ -102,6 +102,11 @@ class ZooConfig:
     vila: VilaConfig = VILA_1_5             # VILA VLM (alt. VQA judge)
     box_threshold: float = 0.25
     fused_diffusion_loop: bool = True   # False: per-step jit (fast compile)
+    # W8A8 int8 fast mode for the flagship IP2P UNet (ops/quant.py):
+    # float checkpoint is quantized per-output-channel at load; the MXU
+    # runs int8 at ~2x the bf16 rate on v5e. Opt-in — bf16 is the parity
+    # default; quality bound in tests/test_quant.py.
+    quant_ip2p: bool = False
 
 
 def load_params(model, example_args: tuple, weight_file: Optional[Path],
@@ -439,14 +444,26 @@ class ModelZoo:
         """(unet, params, noise_schedule) — shared by the per-record and the
         data-parallel batched IP2P editors (one resident param copy)."""
         def build():
+            import dataclasses as dc
             c = self.cfg
-            unet = UNet2DCondition(c.ip2p_unet)
             hw = c.canvas.edit_size // c.canvas.latent_down
             x = jnp.zeros((3, hw, hw, c.ip2p_unet.in_channels), jnp.bfloat16)
             t = jnp.zeros((3,), jnp.int32)
             ctx = jnp.zeros((3, 77, c.ip2p_unet.context_dim), jnp.bfloat16)
-            params = load_params(unet, (x, t, ctx), self._wf("unet_ip2p"),
+            # params always load/init as the FLOAT tree (converters and
+            # checkpoints are float); quant mode transforms them at build.
+            fl = UNet2DCondition(c.ip2p_unet)
+            params = load_params(fl, (x, t, ctx), self._wf("unet_ip2p"),
                                  self.seed)
+            if c.quant_ip2p:
+                from anyedit_tpu.ops.quant import quantize_params
+                unet = UNet2DCondition(dc.replace(c.ip2p_unet, quant=True))
+                shapes = jax.eval_shape(
+                    lambda: unet.init(jax.random.key(self.seed), x, t, ctx))
+                params = {"params": quantize_params(shapes["params"],
+                                                    params["params"])}
+            else:
+                unet = fl
             return unet, params, make_noise_schedule()
         return self._get("ip2p_core", build)
 

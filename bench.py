@@ -23,6 +23,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import os
+import sys
 import time
 
 import jax
@@ -30,6 +31,11 @@ import jax.numpy as jnp
 
 A100_BASELINE_PAIRS_PER_HOUR = 720.0
 STEPS = 50
+# --int8: opt-in W8A8 fast mode (ops/quant.py) — the headline metric the
+# driver records stays bf16 (the parity workload); int8 is the documented
+# "faster than parity" mode, measured manually and recorded in
+# docs/perf_roofline.md.
+INT8 = "--int8" in sys.argv or os.environ.get("BENCH_INT8") == "1"
 # Batch sweep (same program shape, bigger leading dim): measured on the
 # bench chip 2026-08-17 — batch 8: 2533 pairs/hr; see PARITY.md for the
 # sweep table. Overridable for experiments via BENCH_BATCH.
@@ -46,11 +52,25 @@ def main():
     n = IMAGES_PER_BATCH
     ns = make_noise_schedule()
 
-    unet = UNet2DCondition(SD15_IP2P_UNET)
+    cfg = SD15_IP2P_UNET
+    if INT8:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, quant=True)
+    unet = UNet2DCondition(cfg)
     xs = jnp.zeros((3 * n, 64, 64, 8), jnp.bfloat16)
     ts = jnp.zeros((3 * n,), jnp.int32)
     ctx3 = jnp.zeros((3 * n, 77, 768), jnp.bfloat16)
-    unet_params = jax.jit(unet.init)(key, xs, ts, ctx3)
+    if INT8:
+        # quantize a float random init (same path a real checkpoint takes)
+        from anyedit_tpu.ops.quant import quantize_params
+        fl = UNet2DCondition(SD15_IP2P_UNET)
+        fparams = jax.jit(fl.init)(key, xs, ts, ctx3)
+        shapes = jax.eval_shape(lambda: unet.init(key, xs, ts, ctx3))
+        unet_params = {"params": jax.jit(
+            lambda fp: quantize_params(shapes["params"], fp))(
+                fparams["params"])}
+    else:
+        unet_params = jax.jit(unet.init)(key, xs, ts, ctx3)
 
     vae = AutoencoderKL(SD_VAE)
     px = jax.random.normal(jax.random.fold_in(key, 2),
@@ -109,7 +129,8 @@ def main():
 
     pairs_per_hour = 3600.0 / best * n
     line = {
-        "metric": "edited pairs/hour/chip (512px, 50-step DDIM, 3-way CFG IP2P)",
+        "metric": "edited pairs/hour/chip (512px, 50-step DDIM, 3-way CFG "
+                  "IP2P%s)" % (", W8A8 int8 UNet" if INT8 else ""),
         "value": round(pairs_per_hour, 1),
         "unit": "pairs/hour/chip",
         "vs_baseline": round(pairs_per_hour / A100_BASELINE_PAIRS_PER_HOUR, 2),

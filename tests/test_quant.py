@@ -1,0 +1,108 @@
+"""W8A8 int8 fast-mode numerics (ops/quant.py).
+
+Bounds the quantization drift per layer and end-to-end through the tiny
+UNet: the int8 path must track the bf16 path closely enough that the
+50-step CFG edit stays in-distribution (per-layer relative error ~1%,
+whole-UNet cosine > 0.95 at random weights — random weights are the
+WORST case for per-channel quant because activations are near-gaussian
+with no outlier structure for per-channel scales to exploit).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from anyedit_tpu.models.unet_sd import TINY_UNET, UNet2DCondition
+from anyedit_tpu.ops.quant import (
+    QuantConv, QuantDense, absmax_scale, quantize_int8, quantize_kernel,
+    quantize_params,
+)
+
+pytestmark = pytest.mark.smoke
+
+
+def test_quantize_int8_roundtrip():
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(64, 32)),
+                    jnp.float32)
+    s = absmax_scale(x)
+    xq = quantize_int8(x, s)
+    assert xq.dtype == jnp.int8
+    err = np.abs(np.asarray(xq, np.float32) * np.asarray(s) - np.asarray(x))
+    assert err.max() <= float(s[0, 0]) * 0.5 + 1e-6   # half-ulp of the grid
+
+
+def test_quant_dense_tracks_float():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(4, 16, 96)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(96, 64)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(64,)) * 0.01, jnp.float32)
+    kq, ks = quantize_kernel(w)
+    params = {"params": {"kernel_q": kq, "kernel_scale": ks, "bias": b}}
+    got = QuantDense(64, dtype=jnp.float32).apply(params, x)
+    want = x @ w + b
+    rel = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+    assert rel < 0.02, rel
+
+
+def test_quant_conv_tracks_float():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 24)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 24, 16)) * 0.05, jnp.float32)
+    kq, ks = quantize_kernel(w)
+    params = {"params": {"kernel_q": kq, "kernel_scale": ks,
+                         "bias": jnp.zeros((16,), jnp.float32)}}
+    got = QuantConv(16, dtype=jnp.float32).apply(params, x)
+    want = jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    rel = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+    assert rel < 0.02, rel
+
+
+def test_unet_quant_end_to_end():
+    cfg = TINY_UNET
+    qcfg = dataclasses.replace(cfg, quant=True)
+    unet, qunet = UNet2DCondition(cfg), UNet2DCondition(qcfg)
+    key = jax.random.key(0)
+    x = jax.random.normal(jax.random.key(1), (1, 8, 8, 4))
+    t = jnp.asarray([500])
+    ctx = jax.random.normal(jax.random.key(2), (1, 7, cfg.context_dim))
+    fparams = unet.init(key, x, t, ctx)
+    shapes = jax.eval_shape(lambda: qunet.init(key, x, t, ctx))
+    qparams = {"params": quantize_params(shapes["params"],
+                                         fparams["params"])}
+    want = unet.apply(fparams, x, t, ctx)
+    got = qunet.apply(qparams, x, t, ctx)
+    assert np.isfinite(np.asarray(got)).all()
+    cos = float(jnp.sum(got * want)
+                / (jnp.linalg.norm(got) * jnp.linalg.norm(want)))
+    assert cos > 0.95, cos
+
+
+def test_zoo_quant_ip2p_edit():
+    """quant_ip2p=True streams an edit end-to-end through the quantized
+    UNet (params converted at slot build from the float load path)."""
+    from anyedit_tpu.cli import tiny_zoo_config
+    from anyedit_tpu.runtime.zoo import ModelZoo
+
+    cfg = dataclasses.replace(tiny_zoo_config(), quant_ip2p=True)
+    zoo = ModelZoo(cfg)
+    img = np.random.default_rng(3).integers(0, 255, (32, 32, 3), np.uint8)
+    out = zoo.ip2p()(img, "make it blue", None, steps=2, seed=0)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert np.isfinite(out.astype(np.float32)).all()
+
+
+def test_quantize_params_fails_loudly_on_mismatch():
+    cfg = dataclasses.replace(TINY_UNET, quant=True)
+    qunet = UNet2DCondition(cfg)
+    key = jax.random.key(0)
+    x = jnp.zeros((1, 8, 8, 4))
+    shapes = jax.eval_shape(
+        lambda: qunet.init(key, x, jnp.asarray([1]),
+                           jnp.zeros((1, 7, cfg.context_dim))))
+    with pytest.raises(KeyError):
+        quantize_params(shapes["params"], {"wrong": {}})
