@@ -96,6 +96,27 @@ def test_zoo_quant_ip2p_edit():
     assert np.isfinite(out.astype(np.float32)).all()
 
 
+def test_zoo_quant_dp_batched_editor():
+    """int8 params (int8 leaves + fp32 scales) replicate over a dp=8 mesh
+    and the batched editor runs end-to-end — quant composes with the
+    multi-chip data-parallel path, not just the single-chip editor."""
+    from anyedit_tpu.cli import tiny_zoo_config
+    from anyedit_tpu.core.mesh import make_mesh, MeshSpec
+    from anyedit_tpu.runtime.zoo import ModelZoo
+
+    cfg = dataclasses.replace(tiny_zoo_config(), quant_ip2p=True)
+    zoo = ModelZoo(cfg)
+    mesh = make_mesh(MeshSpec(dp=8), devices=jax.devices()[:8])
+    rng = np.random.default_rng(4)
+    imgs = [rng.integers(0, 255, (32, 32, 3), np.uint8) for _ in range(2)]
+    outs = zoo.ip2p_batch_fn(mesh=mesh, bucket=8)(
+        imgs, ["make it red", "make it blue"], steps=2, seeds=[1, 2])
+    assert len(outs) == 2
+    for o, im in zip(outs, imgs):
+        assert o.shape == im.shape and o.dtype == np.uint8
+        assert np.isfinite(o.astype(np.float32)).all()
+
+
 def test_quantize_params_fails_loudly_on_mismatch():
     cfg = dataclasses.replace(TINY_UNET, quant=True)
     qunet = UNet2DCondition(cfg)
