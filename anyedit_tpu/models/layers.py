@@ -42,6 +42,13 @@ def default_processor(q, k, v, meta: AttnMeta, extra=None):
     return attention_op(q, k, v)
 
 
+def int8_processor(q, k, v, meta: AttnMeta, extra=None):
+    """W8A8 fast-mode default: int8 flash for the big self-attention
+    shapes, bf16 XLA elsewhere (attention() applies the same routing)."""
+    del meta, extra
+    return attention_op(q, k, v, int8=True)
+
+
 class MultiHeadAttention(nn.Module):
     """Projection wrapper around the processor slot."""
 
@@ -74,7 +81,8 @@ class MultiHeadAttention(nn.Module):
         split = lambda t, l: t.reshape(b, l, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)
         q, k, v = split(q, lq), split(k, lkv), split(v, lkv)
         meta = AttnMeta(self.name_tag, self.is_self, self.num_heads, self.head_dim)
-        proc = processor or default_processor
+        proc = processor or (int8_processor if self.quant
+                             else default_processor)
         out = proc(q, k, v, meta, extra)
         out = out.transpose(0, 2, 1, 3).reshape(b, lq, inner)
         return dense("to_out", self.out_dim, True)(out)

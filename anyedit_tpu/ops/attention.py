@@ -180,6 +180,95 @@ def flash_nomax(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
     )(q, k, v)
 
 
+def _flash_int8_kernel(fac_ref, q_ref, k_ref, v_ref, o_ref, *,
+                       kv_len: int, block_k: int):
+    """Online-softmax flash with INT8 matmuls (one (head, q-block)).
+
+    q/k/v arrive pre-quantized int8 (per-tensor symmetric, quantized by
+    the caller where XLA fuses the round/clip into the preceding
+    projection); `fac_ref` (SMEM) carries the two dequant factors:
+    fac[0] = scale_q·scale_k·softmax_scale (logits), fac[1] = scale_v/127
+    (PV: probs are quantized onto a fixed /127 grid — they live in (0,1]
+    after the running-max subtraction, so the grid is exact-range).
+    Both contractions hit the MXU's int8 path (~2× the bf16 rate on v5e);
+    softmax stays fp32.
+    """
+    qk_f = fac_ref[0]
+    v_f = fac_ref[1]
+    q = q_ref[0]                                      # (BQ, D) int8
+    bq, d = q.shape
+    n_chunks = k_ref.shape[1] // block_k
+
+    def chunk(ci, carry):
+        acc, m_prev, l_prev = carry
+        k = k_ref[0, pl.ds(ci * block_k, block_k), :]            # int8
+        v = v_ref[0, pl.ds(ci * block_k, block_k), :]            # int8
+        s32 = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        s = s32.astype(jnp.float32) * qk_f
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ci * block_k
+        s = jnp.where(col < kv_len, s, -jnp.inf)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)                                   # (0, 1]
+        p8 = jnp.round(p * 127.0).astype(jnp.int8)
+        pv = jax.lax.dot_general(p8, v, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+        correction = jnp.exp(m_prev - m_new)
+        l_new = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * correction + pv.astype(jnp.float32) * v_f
+        return acc, m_new, l_new
+
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+    m0 = jnp.full((bq, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc, _, l = jax.lax.fori_loop(0, n_chunks, chunk, (acc0, m0, l0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def flash_int8(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
+               block_q: int = 512, block_k: int = 512,
+               interpret: bool = False) -> jnp.ndarray:
+    """INT8-matmul flash attention on padded shapes. q/k/v: (BH, L, D)
+    float; quantization happens here (per-tensor symmetric). D % 128 == 0
+    and L % block_q == 0 == L % block_k (callers pad; K-padding is masked
+    via kv_len=L of the unpadded caller — here L is the true length)."""
+    bh, l, d = q.shape
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    sq = jnp.maximum(jnp.max(jnp.abs(qf)), 1e-8) / 127.0
+    sk = jnp.maximum(jnp.max(jnp.abs(kf)), 1e-8) / 127.0
+    sv = jnp.maximum(jnp.max(jnp.abs(vf)), 1e-8) / 127.0
+    q8 = jnp.clip(jnp.round(qf / sq), -127, 127).astype(jnp.int8)
+    k8 = jnp.clip(jnp.round(kf / sk), -127, 127).astype(jnp.int8)
+    v8 = jnp.clip(jnp.round(vf / sv), -127, 127).astype(jnp.int8)
+    fac = jnp.stack([sq * sk * scale, sv / 127.0]).astype(jnp.float32)
+    kernel = functools.partial(_flash_int8_kernel, kv_len=l, block_k=block_k)
+    return pl.pallas_call(
+        kernel,
+        grid=(bh, l // block_q),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, l, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * l * l * d,
+            bytes_accessed=4 * bh * l * d,
+            transcendentals=bh * l * l,
+        ),
+        interpret=interpret,
+    )(fac, q8, k8, v8)
+
+
 def _on_tpu() -> bool:
     try:
         return jax.default_backend() == "tpu"
@@ -222,18 +311,43 @@ def _self_attn_flash_bwd(scale, res, g):
 _self_attn_flash.defvjp(_self_attn_flash_fwd, _self_attn_flash_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _self_attn_int8(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    scale: float) -> jnp.ndarray:
+    """INT8 flash wrapper (pad D→128 lanes); backward recomputes via the
+    fp32 XLA sdpa on the unquantized inputs (straight-through estimator —
+    the int8 path is inference-only, but a stray grad must not crash)."""
+    b, h, lq, d = q.shape
+    dp = _ceil_to(d, _LANES)
+    pad = ((0, 0), (0, 0), (0, dp - d))
+    qf = jnp.pad(q.reshape(b * h, lq, d), pad)
+    kf = jnp.pad(k.reshape(b * h, lq, d), pad)
+    vf = jnp.pad(v.reshape(b * h, lq, d), pad)
+    out = flash_int8(qf, kf, vf, scale=scale)
+    return out[..., :d].reshape(b, h, lq, d)
+
+
+def _self_attn_int8_fwd(q, k, v, scale):
+    return _self_attn_int8(q, k, v, scale), (q, k, v)
+
+
+_self_attn_int8.defvjp(_self_attn_int8_fwd, _self_attn_flash_bwd)
+
+
 def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
               scale: float | None = None, use_flash: bool | None = None,
-              interpret: bool = False) -> jnp.ndarray:
+              int8: bool = False, interpret: bool = False) -> jnp.ndarray:
     """Public attention op. q,k,v: (B, H, L, D); returns (B, H, Lq, D).
 
     Kernel policy (measured on v5e, SD shapes):
       * large unmasked self-attention (Lq == Lkv ≥ 1024, block-aligned):
         the max-free Pallas kernel — 1.29x XLA at the SD1.5 level-0 shape,
-        where attention is ~44% of the UNet step;
+        where attention is ~44% of the UNet step; with `int8=True` (the
+        W8A8 fast mode) the int8-matmul flash kernel instead;
       * everything else: XLA's fused attention (it wins at small/cross
         shapes, and the with-max online-softmax kernel only pays off for
-        128-aligned head dims / very long kv).
+        128-aligned head dims / very long kv). int8 falls back to bf16
+        here — small/cross attention is not worth the quantization error.
     """
     b, h, lq, d = q.shape
     lkv = k.shape[2]
@@ -242,6 +356,8 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if use_flash is None and not interpret:
         if (lq == lkv and lq >= 1024 and lq % 512 == 0 and d <= 128
                 and _on_tpu()):
+            if int8:
+                return _self_attn_int8(q, k, v, scale)
             return _self_attn_flash(q, k, v, scale)
         use_flash = False
     if not use_flash:

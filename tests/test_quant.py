@@ -117,6 +117,27 @@ def test_zoo_quant_dp_batched_editor():
         assert np.isfinite(o.astype(np.float32)).all()
 
 
+def test_flash_int8_matches_sdpa_interpret():
+    """INT8 flash kernel (interpret mode) tracks the fp32 sdpa: per-tensor
+    symmetric quantization on q/k plus the fixed /127 prob grid bounds the
+    output drift to a few percent at SD-like magnitudes."""
+    from anyedit_tpu.ops.attention import flash_int8, sdpa_xla
+
+    rng = np.random.default_rng(5)
+    bh, l, d = 2, 1024, 128
+    q = jnp.asarray(rng.normal(size=(bh, l, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(bh, l, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(bh, l, d)), jnp.float32)
+    scale = 1.0 / np.sqrt(d)
+    got = flash_int8(q, k, v, scale, block_q=512, block_k=512,
+                     interpret=True)
+    want = sdpa_xla(q[:, None].reshape(bh, 1, l, d),
+                    k.reshape(bh, 1, l, d), v.reshape(bh, 1, l, d),
+                    scale=scale).reshape(bh, l, d)
+    rel = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+    assert rel < 0.05, rel
+
+
 def test_quantize_params_fails_loudly_on_mismatch():
     cfg = dataclasses.replace(TINY_UNET, quant=True)
     qunet = UNet2DCondition(cfg)
