@@ -99,7 +99,8 @@ def cmd_run(args) -> int:
     zoo_cfg = tiny_zoo_config() if args.tiny else ZooConfig()
     if getattr(args, "int8", False):
         import dataclasses as _dc
-        zoo_cfg = _dc.replace(zoo_cfg, quant_ip2p=True)
+        zoo_cfg = _dc.replace(zoo_cfg, quant_ip2p=True,
+                              quant_diffusion=True)
     zoo = ModelZoo(zoo_cfg, weights_dir=args.weights, seed=args.seed,
                    require_weights=args.require_weights)
 

@@ -107,6 +107,10 @@ class ZooConfig:
     # runs int8 at ~2x the bf16 rate on v5e. Opt-in — bf16 is the parity
     # default; quality bound in tests/test_quant.py.
     quant_ip2p: bool = False
+    # extend W8A8 to the other pure-sampling UNet slots (9-ch inpaint,
+    # SDXL refine). Attention-surgery paths (MasaCtrl/P2P/regional) and
+    # AnyDoor ControlNet stay bf16 — their processors read raw attention.
+    quant_diffusion: bool = False
 
 
 def load_params(model, example_args: tuple, weight_file: Optional[Path],
@@ -440,30 +444,35 @@ class ModelZoo:
         return np.asarray(resize_image(u8.astype(jnp.float32), h, w,
                                        "lanczos").astype(jnp.uint8))
 
+    def _quantize_unet(self, unet_cfg, params, args, kw=None):
+        """Float (cfg, params) → W8A8 (UNet, params) pair (ops/quant.py).
+
+        Params always load/init as the FLOAT tree (converters and
+        checkpoints are float); quantization happens once at slot build."""
+        import dataclasses as dc
+        from anyedit_tpu.ops.quant import quantize_params
+        unet = UNet2DCondition(dc.replace(unet_cfg, quant=True))
+        kw = kw or {}
+        shapes = jax.eval_shape(
+            lambda: unet.init(jax.random.key(self.seed), *args, **kw))
+        return unet, {"params": quantize_params(shapes["params"],
+                                                params["params"])}
+
     def _ip2p_core(self):
         """(unet, params, noise_schedule) — shared by the per-record and the
         data-parallel batched IP2P editors (one resident param copy)."""
         def build():
-            import dataclasses as dc
             c = self.cfg
             hw = c.canvas.edit_size // c.canvas.latent_down
             x = jnp.zeros((3, hw, hw, c.ip2p_unet.in_channels), jnp.bfloat16)
             t = jnp.zeros((3,), jnp.int32)
             ctx = jnp.zeros((3, 77, c.ip2p_unet.context_dim), jnp.bfloat16)
-            # params always load/init as the FLOAT tree (converters and
-            # checkpoints are float); quant mode transforms them at build.
-            fl = UNet2DCondition(c.ip2p_unet)
-            params = load_params(fl, (x, t, ctx), self._wf("unet_ip2p"),
+            unet = UNet2DCondition(c.ip2p_unet)
+            params = load_params(unet, (x, t, ctx), self._wf("unet_ip2p"),
                                  self.seed)
-            if c.quant_ip2p:
-                from anyedit_tpu.ops.quant import quantize_params
-                unet = UNet2DCondition(dc.replace(c.ip2p_unet, quant=True))
-                shapes = jax.eval_shape(
-                    lambda: unet.init(jax.random.key(self.seed), x, t, ctx))
-                params = {"params": quantize_params(shapes["params"],
-                                                    params["params"])}
-            else:
-                unet = fl
+            if c.quant_ip2p or c.quant_diffusion:
+                unet, params = self._quantize_unet(c.ip2p_unet, params,
+                                                   (x, t, ctx))
             return unet, params, make_noise_schedule()
         return self._get("ip2p_core", build)
 
@@ -894,6 +903,9 @@ class ModelZoo:
                             jnp.bfloat16)
             params = load_params(unet, (x, t, ctx), self._wf("unet_inpaint"),
                                  self.seed)
+            if c.quant_diffusion:
+                unet, params = self._quantize_unet(c.inpaint_unet, params,
+                                                   (x, t, ctx))
             ns = make_noise_schedule()
             enc, dec = self._vae()
             text = self._text_encoder()
@@ -1163,6 +1175,9 @@ class ModelZoo:
             else:
                 params = jax.jit(lambda k: unet.init(k, x, t, ctx, **kw))(
                     jax.random.key(self.seed))
+            if c.quant_diffusion:
+                unet, params = self._quantize_unet(c.refine_unet, params,
+                                                   (x, t, ctx), kw)
             return unet, params
         return self._get("refine_unet", build)
 

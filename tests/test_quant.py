@@ -117,6 +117,26 @@ def test_zoo_quant_dp_batched_editor():
         assert np.isfinite(o.astype(np.float32)).all()
 
 
+def test_zoo_quant_diffusion_inpaint_and_refine():
+    """quant_diffusion=True extends W8A8 to the 9-ch inpaint UNet and the
+    SDXL-class refine UNet (the other pure-sampling slots)."""
+    from anyedit_tpu.cli import tiny_zoo_config
+    from anyedit_tpu.runtime.zoo import ModelZoo
+
+    cfg = dataclasses.replace(tiny_zoo_config(), quant_diffusion=True)
+    zoo = ModelZoo(cfg)
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 255, (32, 32, 3), np.uint8)
+    mask = np.zeros((32, 32), np.float32)
+    mask[8:24, 8:24] = 1.0
+    out = zoo.sd_inpainter()(img, mask, "a red square", steps=2, seed=0)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert np.isfinite(out.astype(np.float32)).all()
+    unet, params = zoo._refine_unet()
+    flat = jax.tree_util.tree_leaves(params)
+    assert any(leaf.dtype == jnp.int8 for leaf in flat)
+
+
 def test_flash_int8_matches_sdpa_interpret():
     """INT8 flash kernel (interpret mode) tracks the fp32 sdpa: per-tensor
     symmetric quantization on q/k plus the fixed /127 prob grid bounds the
