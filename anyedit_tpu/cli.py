@@ -400,6 +400,35 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_eval(args) -> int:
+    """Score a finished run's edited pairs (runtime/evaluate.py): CLIP /
+    dirCLIP / L1 / SSIM aggregates + post-filter pass-rate per edit type
+    — the reference's operational quality definition
+    (filter_tool/post_filter.py:15-79) as an offline readout."""
+    import json as _json
+
+    from anyedit_tpu.runtime.evaluate import (
+        default_loader, evaluate_pairs, run_dir_entries,
+    )
+    from anyedit_tpu.runtime.zoo import ModelZoo
+
+    entries = run_dir_entries(args.run_dir)
+    if not entries:
+        print("no success entries in ledger", file=sys.stderr)
+        return 1
+    zoo_cfg = tiny_zoo_config() if args.tiny else ZooConfig()
+    zoo = ModelZoo(zoo_cfg, weights_dir=args.weights, seed=args.seed,
+                   require_weights=args.require_weights)
+    tb = zoo.toolbox(with_diffusion=False, slots=["clip"])
+    report = evaluate_pairs(tb, entries,
+                            default_loader(args.run_dir, args.image_root))
+    with open(args.output, "w") as f:
+        _json.dump(report, f, indent=1)
+    print(_json.dumps({"overall": report["overall"],
+                       "per_type": report["per_type"]}))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import bench
     bench.main()
@@ -490,6 +519,21 @@ def main(argv=None) -> int:
                          "model on a fixed input; refuse to write on "
                          "mismatch (needs an HF model dir as --src)")
     pc.set_defaults(fn=cmd_convert)
+
+    pv = sub.add_parser("eval", help="score a run's edited pairs (CLIP/"
+                                     "dirCLIP/L1/SSIM + post-filter "
+                                     "pass-rate per edit type)")
+    pv.add_argument("--run-dir", required=True,
+                    help="a `run` output dir (ledger.jsonl + saved images)")
+    pv.add_argument("--image-root", default=None,
+                    help="original images (for records whose input is not "
+                         "synthesized)")
+    pv.add_argument("--output", default="eval.json")
+    pv.add_argument("--weights", default=None)
+    pv.add_argument("--require-weights", action="store_true")
+    pv.add_argument("--seed", type=int, default=0)
+    pv.add_argument("--tiny", action="store_true")
+    pv.set_defaults(fn=cmd_eval)
 
     pe = sub.add_parser("export", help="ledger → reference-format JSONs")
     pe.add_argument("--ledger", required=True)
