@@ -44,6 +44,10 @@ class MMDiTConfig:
     # present in SD3.5
     qk_norm: bool = False
     dtype: Any = jnp.bfloat16
+    # W8A8 int8 fast mode (ops/quant.py): block projections/FFNs + the
+    # fused self-attention go int8; adaLN modulation, patch/time/pooled
+    # embeds and the final head stay float (fp32 residual stream).
+    quant: bool = False
 
 
 SD3_MEDIUM = MMDiTConfig()
@@ -80,6 +84,11 @@ class MMDiTBlock(nn.Module):
         c = self.cfg
         d = c.dim
         hd = d // c.heads
+        if c.quant:
+            from anyedit_tpu.ops.quant import QuantDense
+            dense = lambda n, f: QuantDense(f, dtype=c.dtype, name=n)
+        else:
+            dense = lambda n, f: nn.Dense(f, dtype=c.dtype, name=n)
 
         def mods(name, n):
             m = nn.Dense(n * d, dtype=jnp.float32, name=name,
@@ -100,9 +109,9 @@ class MMDiTBlock(nn.Module):
         txt_n = modulate(ln(txt), ti1, tc1).astype(c.dtype)
 
         def qkv(x, prefix):
-            q = nn.Dense(d, dtype=c.dtype, name=f"{prefix}_q")(x)
-            k = nn.Dense(d, dtype=c.dtype, name=f"{prefix}_k")(x)
-            v = nn.Dense(d, dtype=c.dtype, name=f"{prefix}_v")(x)
+            q = dense(f"{prefix}_q", d)(x)
+            k = dense(f"{prefix}_k", d)(x)
+            v = dense(f"{prefix}_v", d)(x)
             sp = lambda t: t.reshape(t.shape[0], t.shape[1], c.heads, hd
                                      ).transpose(0, 2, 1, 3)
             q, k = sp(q), sp(k)
@@ -117,24 +126,22 @@ class MMDiTBlock(nn.Module):
         q = jnp.concatenate([qt, qi], axis=2)   # text first (SD3 convention)
         k = jnp.concatenate([kt, ki], axis=2)
         v = jnp.concatenate([vt, vi], axis=2)
-        o = attention_op(q, k, v)
+        o = attention_op(q, k, v, int8=c.quant)
         o = o.transpose(0, 2, 1, 3).reshape(img.shape[0], lt + li, d)
         ot, oi = o[:, :lt], o[:, lt:]
 
-        img = img + g1[:, None, :] * nn.Dense(d, dtype=c.dtype,
-                                              name="img_proj")(oi).astype(jnp.float32)
+        img = img + g1[:, None, :] * dense("img_proj", d)(oi).astype(jnp.float32)
         h = modulate(ln(img), si2, sc2).astype(c.dtype)
-        h = nn.Dense(4 * d, dtype=c.dtype, name="img_fc1")(h)
-        h = nn.Dense(d, dtype=c.dtype, name="img_fc2")(nn.gelu(h))
+        h = dense("img_fc1", 4 * d)(h)
+        h = dense("img_fc2", d)(nn.gelu(h))
         img = img + g2[:, None, :] * h.astype(jnp.float32)
 
         if self.final_text:
             return img, txt
-        txt = txt + tg1[:, None, :] * nn.Dense(d, dtype=c.dtype,
-                                               name="txt_proj")(ot).astype(jnp.float32)
+        txt = txt + tg1[:, None, :] * dense("txt_proj", d)(ot).astype(jnp.float32)
         h = modulate(ln(txt), ti2, tc2).astype(c.dtype)
-        h = nn.Dense(4 * d, dtype=c.dtype, name="txt_fc1")(h)
-        h = nn.Dense(d, dtype=c.dtype, name="txt_fc2")(nn.gelu(h))
+        h = dense("txt_fc1", 4 * d)(h)
+        h = dense("txt_fc2", d)(nn.gelu(h))
         txt = txt + tg2[:, None, :] * h.astype(jnp.float32)
         return img, txt
 

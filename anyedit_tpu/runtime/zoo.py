@@ -1463,6 +1463,7 @@ class ModelZoo:
         def build():
             import functools
             c = self.cfg
+            import dataclasses as dc
             mmdit = MMDiT(c.mmdit)
             hw = c.canvas.edit_size // c.canvas.latent_down
             lc = c.sd3_vae.latent_channels
@@ -1472,6 +1473,14 @@ class ModelZoo:
             pooled = jnp.zeros((3, c.mmdit.pooled_dim), jnp.float32)
             params = load_params(mmdit, (x, t, ctx, pooled),
                                  self._wf("mmdit_ultraedit"), self.seed)
+            if c.quant_diffusion:
+                from anyedit_tpu.ops.quant import quantize_params
+                mmdit = MMDiT(dc.replace(c.mmdit, quant=True))
+                shapes = jax.eval_shape(
+                    lambda: mmdit.init(jax.random.key(self.seed), x, t, ctx,
+                                       pooled))
+                params = {"params": quantize_params(shapes["params"],
+                                                    params["params"])}
             enc, dec = self._vae_named("sd3_vae", c.sd3_vae)
             t5 = self._t5()
             clip_l = self._text_raw("clip_text", c.text)
