@@ -37,6 +37,9 @@ class FluxConfig:
     axes_dim: tuple[int, ...] = (16, 56, 56)   # sums to head_dim 128
     guidance_embed: bool = False               # schnell: False, dev: True
     dtype: Any = jnp.bfloat16
+    # W8A8 int8 fast mode (ops/quant.py): block qkv/proj/FFN denses go
+    # int8; modulation, embeds, RoPE/attention and the head stay float.
+    quant: bool = False
 
 
 FLUX_SCHNELL = FluxConfig()
@@ -87,6 +90,11 @@ class DoubleBlock(nn.Module):
         c = self.cfg
         d, hd = c.dim, c.dim // c.heads
         lt = txt.shape[1]
+        if c.quant:
+            from anyedit_tpu.ops.quant import QuantDense
+            dense = lambda n, f: QuantDense(f, dtype=c.dtype, name=n)
+        else:
+            dense = lambda n, f: nn.Dense(f, dtype=c.dtype, name=n)
 
         def mods(name, n):
             m = nn.Dense(n * d, dtype=jnp.float32, name=name,
@@ -99,7 +107,7 @@ class DoubleBlock(nn.Module):
                                     dtype=jnp.float32)(x.astype(jnp.float32))
 
         def qkv(x, prefix):
-            h = nn.Dense(3 * d, dtype=c.dtype, name=f"{prefix}_qkv")(x)
+            h = dense(f"{prefix}_qkv", 3 * d)(x)
             q, k, v = jnp.split(h, 3, axis=-1)
             sp = lambda t: t.reshape(t.shape[0], t.shape[1], c.heads, hd
                                      ).transpose(0, 2, 1, 3)
@@ -120,17 +128,15 @@ class DoubleBlock(nn.Module):
         o = o.transpose(0, 2, 1, 3).reshape(img.shape[0], -1, d)
         ot, oi = o[:, :lt], o[:, lt:]
 
-        img = img + g1[:, None] * nn.Dense(d, dtype=c.dtype, name="img_o")(
-            oi).astype(jnp.float32)
+        img = img + g1[:, None] * dense("img_o", d)(oi).astype(jnp.float32)
         h = modulate(ln(img), si2, sc2).astype(c.dtype)
-        h = nn.Dense(4 * d, dtype=c.dtype, name="img_fc1")(h)
-        img = img + g2[:, None] * nn.Dense(d, dtype=c.dtype, name="img_fc2")(
+        h = dense("img_fc1", 4 * d)(h)
+        img = img + g2[:, None] * dense("img_fc2", d)(
             nn.gelu(h)).astype(jnp.float32)
-        txt = txt + tg1[:, None] * nn.Dense(d, dtype=c.dtype, name="txt_o")(
-            ot).astype(jnp.float32)
+        txt = txt + tg1[:, None] * dense("txt_o", d)(ot).astype(jnp.float32)
         h = modulate(ln(txt), ti2, tc2).astype(c.dtype)
-        h = nn.Dense(4 * d, dtype=c.dtype, name="txt_fc1")(h)
-        txt = txt + tg2[:, None] * nn.Dense(d, dtype=c.dtype, name="txt_fc2")(
+        h = dense("txt_fc1", 4 * d)(h)
+        txt = txt + tg2[:, None] * dense("txt_fc2", d)(
             nn.gelu(h)).astype(jnp.float32)
         return img, txt
 
@@ -150,7 +156,12 @@ class SingleBlock(nn.Module):
         ln = nn.LayerNorm(use_bias=False, use_scale=False,
                           dtype=jnp.float32)(x.astype(jnp.float32))
         h = modulate(ln, shift, scale).astype(c.dtype)
-        fused = nn.Dense(3 * d + 4 * d, dtype=c.dtype, name="linear1")(h)
+        if c.quant:
+            from anyedit_tpu.ops.quant import QuantDense
+            dense = lambda n, f: QuantDense(f, dtype=c.dtype, name=n)
+        else:
+            dense = lambda n, f: nn.Dense(f, dtype=c.dtype, name=n)
+        fused = dense("linear1", 3 * d + 4 * d)(h)
         q, k, v, mlp = jnp.split(fused, [d, 2 * d, 3 * d], axis=-1)
         sp = lambda t: t.reshape(t.shape[0], t.shape[1], c.heads, hd
                                  ).transpose(0, 2, 1, 3)
@@ -158,7 +169,7 @@ class SingleBlock(nn.Module):
         kh = apply_rope(_RMSNormQK(name="kn")(sp(k)), cos, sin)
         o = sdpa_xla(qh, kh, sp(v))
         o = o.transpose(0, 2, 1, 3).reshape(x.shape[0], -1, d)
-        out = nn.Dense(d, dtype=c.dtype, name="linear2")(
+        out = dense("linear2", d)(
             jnp.concatenate([o, nn.gelu(mlp)], axis=-1))
         return x + gate[:, None] * out.astype(jnp.float32)
 

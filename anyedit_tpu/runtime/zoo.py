@@ -1075,6 +1075,15 @@ class ModelZoo:
             pooled = jnp.zeros((1, c.flux.pooled_dim), jnp.float32)
             params = load_params(flux, (x, t, ctx, pooled), self._wf("flux"),
                                  self.seed)
+            if c.quant_diffusion:
+                import dataclasses as dc
+                from anyedit_tpu.ops.quant import quantize_params
+                flux = Flux(dc.replace(c.flux, quant=True))
+                shapes = jax.eval_shape(
+                    lambda: flux.init(jax.random.key(self.seed), x, t, ctx,
+                                      pooled))
+                params = {"params": quantize_params(shapes["params"],
+                                                    params["params"])}
             _, dec = self._vae_named("flux_vae", c.flux_vae)
             t5 = self._t5()
             clip = self._text_raw("clip_text", self.cfg.text)

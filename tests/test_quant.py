@@ -163,6 +163,30 @@ def test_mmdit_quant_end_to_end():
     assert cos > 0.95, cos
 
 
+def test_flux_quant_end_to_end():
+    """Flux (textual_change generator) quant=True forward tracks float."""
+    from anyedit_tpu.models.flux import Flux, TINY_FLUX, make_ids
+
+    cfg = TINY_FLUX
+    qcfg = dataclasses.replace(cfg, quant=True)
+    m, qm = Flux(cfg), Flux(qcfg)
+    key = jax.random.key(0)
+    x = jax.random.normal(jax.random.key(1), (1, 8, 8, cfg.in_channels))
+    t = jnp.asarray([500.0], jnp.float32)
+    ctx = jax.random.normal(jax.random.key(2), (1, 7, cfg.context_dim))
+    pooled = jax.random.normal(jax.random.key(3), (1, cfg.pooled_dim))
+    fparams = m.init(key, x, t, ctx, pooled)
+    shapes = jax.eval_shape(lambda: qm.init(key, x, t, ctx, pooled))
+    qparams = {"params": quantize_params(shapes["params"],
+                                         fparams["params"])}
+    want = m.apply(fparams, x, t, ctx, pooled)
+    got = qm.apply(qparams, x, t, ctx, pooled)
+    assert np.isfinite(np.asarray(got)).all()
+    cos = float(jnp.sum(got * want)
+                / (jnp.linalg.norm(got) * jnp.linalg.norm(want)))
+    assert cos > 0.95, cos
+
+
 def test_flash_int8_matches_sdpa_interpret():
     """INT8 flash kernel (interpret mode) tracks the fp32 sdpa: per-tensor
     symmetric quantization on q/k plus the fixed /127 prob grid bounds the
