@@ -8,9 +8,10 @@ was reached. This module provides:
 
   * `QuantDense` / `QuantConv` — drop-in Flax modules storing a
     per-output-channel symmetric int8 kernel (+fp32 scale) and
-    quantizing activations per-tensor (dynamic absmax) at runtime;
-    accumulation is int32 (`preferred_element_type`), dequant to the
-    module dtype.
+    quantizing activations dynamically at runtime (per-row for Dense,
+    per-sample for conv — the finest granularity that keeps the scaled
+    contraction linear); accumulation is int32
+    (`preferred_element_type`), dequant to the module dtype.
   * `quantize_params` — walks a float param tree and the quantized
     model's shape tree in lockstep, converting every `kernel` the quant
     model declares as `kernel_q` into (int8 kernel, per-channel scale).
@@ -20,9 +21,9 @@ path at all):
   * symmetric signed quantization, clip to ±127 (avoids the -128
     asymmetry); per-OUTPUT-channel weight scales keep the dequant a
     cheap per-lane multiply after the int32 accumulator;
-  * activations use ONE dynamic per-tensor scale — a scalar VPU absmax
-    per call is negligible next to the conv it feeds, and per-tensor
-    keeps the dequant fusable into the accumulator epilogue;
+  * activation scales are dynamic VPU absmax reductions — negligible
+    next to the matmul they feed — and the dequant stays a rank-1
+    multiply fusable into the accumulator epilogue;
   * first/last convs and time/positional embeds stay bf16 (standard
     W8A8 diffusion practice — they are <1% of FLOPs and carry the
     widest dynamic range).
@@ -76,7 +77,10 @@ class QuantDense(nn.Module):
                         lambda k, s: jnp.full(s, 1.0 / (127.0 * in_f ** 0.5),
                                               jnp.float32),
                         (self.features,))
-        xs = absmax_scale(x)                       # scalar, dynamic
+        # per-ROW activation scale (dot contracts only the last dim, so a
+        # row-wise scale stays linear); the dequant is the rank-1 outer
+        # product row_scale × channel_scale fused into the int32 epilogue.
+        xs = absmax_scale(x, axis=-1)              # (..., 1) dynamic
         xq = quantize_int8(x, xs)
         acc = jax.lax.dot_general(
             xq, kq, (((x.ndim - 1,), (0,)), ((), ())),
@@ -109,7 +113,9 @@ class QuantConv(nn.Module):
                         lambda k, s: jnp.full(s, 1.0 / (127.0 * fan_in ** 0.5),
                                               jnp.float32),
                         (self.features,))
-        xs = absmax_scale(x)                       # (1,1,1,1) dynamic
+        # per-SAMPLE activation scale (conv mixes H/W/C inside the window —
+        # finer-grained scales would break linearity — but never batch).
+        xs = absmax_scale(x, axis=(1, 2, 3))       # (N,1,1,1) dynamic
         xq = quantize_int8(x, xs)
         acc = jax.lax.conv_general_dilated(
             xq, kq, window_strides=(self.stride, self.stride),
