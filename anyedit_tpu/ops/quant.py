@@ -31,7 +31,10 @@ path at all):
 Quality: W8A8 with per-channel weights is the established
 Q-Diffusion/SmoothQuant operating point for SD-class UNets; the bf16
 path remains the default and the parity metric. `tests/test_quant.py`
-bounds the per-layer and end-to-end drift.
+bounds the per-layer and end-to-end drift. Future lever for real
+checkpoints with activation outliers: SmoothQuant-style scale migration
+(fold per-channel activation ranges into the preceding norm gain before
+quantizing) — a pure `quantize_params`-time transform, no kernel change.
 """
 
 from __future__ import annotations
