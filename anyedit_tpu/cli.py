@@ -419,7 +419,12 @@ def cmd_eval(args) -> int:
     zoo_cfg = tiny_zoo_config() if args.tiny else ZooConfig()
     zoo = ModelZoo(zoo_cfg, weights_dir=args.weights, seed=args.seed,
                    require_weights=args.require_weights)
-    tb = zoo.toolbox(with_diffusion=False, slots=["clip"])
+    # eval needs ONLY the CLIP towers — build a bare Toolbox and install
+    # the clip slot rather than toolbox() (which eagerly constructs
+    # GroundingDINO/SAM/LaMa the metrics never touch).
+    from anyedit_tpu.edits.types import Toolbox
+    tb = Toolbox(ground=None, inpaint=None)
+    zoo.install(tb, "clip")
     report = evaluate_pairs(tb, entries,
                             default_loader(args.run_dir, args.image_root))
     with open(args.output, "w") as f:

@@ -90,11 +90,9 @@ class DoubleBlock(nn.Module):
         c = self.cfg
         d, hd = c.dim, c.dim // c.heads
         lt = txt.shape[1]
-        if c.quant:
-            from anyedit_tpu.ops.quant import QuantDense
-            dense = lambda n, f: QuantDense(f, dtype=c.dtype, name=n)
-        else:
-            dense = lambda n, f: nn.Dense(f, dtype=c.dtype, name=n)
+        from anyedit_tpu.ops.quant import make_dense
+        dense = lambda n, f: make_dense(f, quant=c.quant, dtype=c.dtype,
+                                        name=n)
 
         def mods(name, n):
             m = nn.Dense(n * d, dtype=jnp.float32, name=name,
@@ -156,11 +154,9 @@ class SingleBlock(nn.Module):
         ln = nn.LayerNorm(use_bias=False, use_scale=False,
                           dtype=jnp.float32)(x.astype(jnp.float32))
         h = modulate(ln, shift, scale).astype(c.dtype)
-        if c.quant:
-            from anyedit_tpu.ops.quant import QuantDense
-            dense = lambda n, f: QuantDense(f, dtype=c.dtype, name=n)
-        else:
-            dense = lambda n, f: nn.Dense(f, dtype=c.dtype, name=n)
+        from anyedit_tpu.ops.quant import make_dense
+        dense = lambda n, f: make_dense(f, quant=c.quant, dtype=c.dtype,
+                                        name=n)
         fused = dense("linear1", 3 * d + 4 * d)(h)
         q, k, v, mlp = jnp.split(fused, [d, 2 * d, 3 * d], axis=-1)
         sp = lambda t: t.reshape(t.shape[0], t.shape[1], c.heads, hd

@@ -66,13 +66,9 @@ class MultiHeadAttention(nn.Module):
                  extra=None):
         context = x if context is None else context
         inner = self.num_heads * self.head_dim
-        if self.quant:
-            from anyedit_tpu.ops.quant import QuantDense
-            dense = lambda n, d, b=self.qkv_bias: QuantDense(
-                d, use_bias=b, dtype=self.dtype, name=n)
-        else:
-            dense = lambda n, d, b=self.qkv_bias: nn.Dense(
-                d, use_bias=b, dtype=self.dtype, name=n)
+        from anyedit_tpu.ops.quant import make_dense
+        dense = lambda n, d, b=self.qkv_bias: make_dense(
+            d, quant=self.quant, use_bias=b, dtype=self.dtype, name=n)
         q = dense("to_q", inner)(x)
         k = dense("to_k", inner)(context)
         v = dense("to_v", inner)(context)
@@ -179,6 +175,8 @@ class Conv3x3(nn.Module):
     def __call__(self, x):
         if self.quant:
             from anyedit_tpu.ops.quant import QuantConv
+            # explicit name keeps the float auto-name "Conv_0" so the
+            # quant/float param trees walk by identical paths
             return QuantConv(self.features, (3, 3), self.stride,
                              ((1, 1), (1, 1)), dtype=self.dtype,
                              name="Conv_0")(x)
@@ -193,12 +191,11 @@ class GEGLU(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        if self.quant:
-            from anyedit_tpu.ops.quant import QuantDense
-            h = QuantDense(self.dim_out * 2, dtype=self.dtype,
-                           name="Dense_0")(x)
-        else:
-            h = nn.Dense(self.dim_out * 2, dtype=self.dtype)(x)
+        from anyedit_tpu.ops.quant import make_dense
+        # explicit name "Dense_0" keeps the float tree's auto-name so
+        # quantize_params walks both trees by identical paths
+        h = make_dense(self.dim_out * 2, quant=self.quant, dtype=self.dtype,
+                       name="Dense_0")(x)
         a, g = jnp.split(h, 2, axis=-1)
         return a * jax.nn.gelu(g)
 
@@ -210,9 +207,8 @@ class FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from anyedit_tpu.ops.quant import make_dense
         dim = x.shape[-1]
         h = GEGLU(dim * self.mult, dtype=self.dtype, quant=self.quant)(x)
-        if self.quant:
-            from anyedit_tpu.ops.quant import QuantDense
-            return QuantDense(dim, dtype=self.dtype, name="Dense_0")(h)
-        return nn.Dense(dim, dtype=self.dtype)(h)
+        return make_dense(dim, quant=self.quant, dtype=self.dtype,
+                          name="Dense_0")(h)

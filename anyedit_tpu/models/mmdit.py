@@ -84,11 +84,9 @@ class MMDiTBlock(nn.Module):
         c = self.cfg
         d = c.dim
         hd = d // c.heads
-        if c.quant:
-            from anyedit_tpu.ops.quant import QuantDense
-            dense = lambda n, f: QuantDense(f, dtype=c.dtype, name=n)
-        else:
-            dense = lambda n, f: nn.Dense(f, dtype=c.dtype, name=n)
+        from anyedit_tpu.ops.quant import make_dense
+        dense = lambda n, f: make_dense(f, quant=c.quant, dtype=c.dtype,
+                                        name=n)
 
         def mods(name, n):
             m = nn.Dense(n * d, dtype=jnp.float32, name=name,

@@ -111,14 +111,9 @@ class ResBlock(nn.Module):
         h = Conv3x3(self.out_channels, dtype=c.dtype, quant=c.quant,
                     name="conv2")(h)
         if x.shape[-1] != self.out_channels:
-            if c.quant:
-                from anyedit_tpu.ops.quant import QuantConv
-                x = QuantConv(self.out_channels, (1, 1),
-                              padding=((0, 0), (0, 0)), dtype=c.dtype,
-                              name="skip")(x)
-            else:
-                x = nn.Conv(self.out_channels, (1, 1), dtype=c.dtype,
-                            name="skip")(x)
+            from anyedit_tpu.ops.quant import make_conv1x1
+            x = make_conv1x1(self.out_channels, quant=c.quant, dtype=c.dtype,
+                             name="skip")(x)
         return x + h
 
 
@@ -159,12 +154,9 @@ class SpatialTransformer(nn.Module):
         heads = c.heads(ch)
         res = x
         x = GroupNorm(c.num_groups, dtype=c.dtype, name="norm")(x)
-        if c.quant:
-            from anyedit_tpu.ops.quant import QuantConv
-            proj = lambda n: QuantConv(ch, (1, 1), padding=((0, 0), (0, 0)),
-                                       dtype=c.dtype, name=n)
-        else:
-            proj = lambda n: nn.Conv(ch, (1, 1), dtype=c.dtype, name=n)
+        from anyedit_tpu.ops.quant import make_conv1x1
+        proj = lambda n: make_conv1x1(ch, quant=c.quant, dtype=c.dtype,
+                                      name=n)
         x = proj("proj_in")(x)
         x = x.reshape(b, hh * ww, ch)
         for d in range(self.depth):

@@ -228,11 +228,13 @@ def _flash_int8_kernel(fac_ref, q_ref, k_ref, v_ref, o_ref, *,
 
 def flash_int8(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
                block_q: int = 512, block_k: int = 512,
+               kv_len: int | None = None,
                interpret: bool = False) -> jnp.ndarray:
     """INT8-matmul flash attention on padded shapes. q/k/v: (BH, L, D)
     float; quantization happens here (per-tensor symmetric). D % 128 == 0
-    and L % block_q == 0 == L % block_k (callers pad; K-padding is masked
-    via kv_len=L of the unpadded caller — here L is the true length)."""
+    and L % block_q == 0 == L % block_k. A caller that pads L must pass
+    the TRUE key count as `kv_len` so padded columns are masked to -inf
+    before the softmax (default: L, i.e. no padding)."""
     bh, l, d = q.shape
     qf = q.astype(jnp.float32)
     kf = k.astype(jnp.float32)
@@ -244,7 +246,9 @@ def flash_int8(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
     k8 = jnp.clip(jnp.round(kf / sk), -127, 127).astype(jnp.int8)
     v8 = jnp.clip(jnp.round(vf / sv), -127, 127).astype(jnp.int8)
     fac = jnp.stack([sq * sk * scale, sv / 127.0]).astype(jnp.float32)
-    kernel = functools.partial(_flash_int8_kernel, kv_len=l, block_k=block_k)
+    kernel = functools.partial(_flash_int8_kernel,
+                               kv_len=l if kv_len is None else kv_len,
+                               block_k=block_k)
     return pl.pallas_call(
         kernel,
         grid=(bh, l // block_q),

@@ -132,6 +132,23 @@ class QuantConv(nn.Module):
         return y.astype(self.dtype)
 
 
+def make_dense(features: int, *, quant: bool, dtype, name: str,
+               use_bias: bool = True) -> nn.Module:
+    """nn.Dense or its W8A8 drop-in — the ONE place the quant/float
+    construction choice lives (used by every quantizable backbone)."""
+    if quant:
+        return QuantDense(features, use_bias=use_bias, dtype=dtype, name=name)
+    return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
+
+
+def make_conv1x1(features: int, *, quant: bool, dtype, name: str) -> nn.Module:
+    """1×1 nn.Conv or its W8A8 drop-in (projection convs)."""
+    if quant:
+        return QuantConv(features, (1, 1), padding=((0, 0), (0, 0)),
+                         dtype=dtype, name=name)
+    return nn.Conv(features, (1, 1), dtype=dtype, name=name)
+
+
 def quantize_kernel(kernel: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Float kernel (..., out) → (int8 kernel, per-out-channel scale)."""
     axes = tuple(range(kernel.ndim - 1))

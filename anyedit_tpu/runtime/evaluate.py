@@ -32,9 +32,16 @@ from typing import Callable, Optional
 import numpy as np
 
 from anyedit_tpu.core.schema import InstructionRecord
-from anyedit_tpu.filters.post_filter import (
-    POST_THRESHOLDS, Scores, post_filter_decision,
-)
+from anyedit_tpu.filters.post_filter import Scores, post_filter_decision
+
+# Edit types whose post-filter predicate is FULLY computable from the
+# (clip, dir_clip, l1) evidence this harness produces. The other gated
+# types need detector existence checks (add/remove/counting/replace),
+# VQA (background_change/color_alter) or OCR (textual_change) — their
+# predicates would be vacuously False on None evidence, so `passes`
+# stays None for them instead of poisoning the pass_rate.
+EVAL_GATED = frozenset({"action_change", "appearance_alter",
+                        "material_alter", "tone_transfer"})
 
 
 @dataclasses.dataclass
@@ -102,7 +109,7 @@ def evaluate_pairs(tb, entries: list[dict],
                                        jnp.asarray(b01))).ravel()[0])
         sc = Scores(clip=m.clip_out, dir_clip=m.dir_clip, l1=m.l1)
         m.passes = bool(post_filter_decision(rec.edit_type, sc)) \
-            if rec.edit_type in POST_THRESHOLDS else None
+            if rec.edit_type in EVAL_GATED else None
         per.append(m)
 
     def agg(ms: list[PairMetrics]) -> dict:
@@ -138,6 +145,25 @@ def run_dir_entries(run_dir: str | Path) -> list[dict]:
     return out
 
 
+def _resolve(p: str, run_dir: Path, subdir: str) -> Path:
+    """Payload image paths are stored as the executor wrote them —
+    `out_root/<subdir>/<name>` with out_root VERBATIM from the run's
+    --output (executor.py:377-387), i.e. absolute or relative to the
+    run-time CWD. Resolve in that order, then fall back to the file's
+    canonical place inside run_dir (covers evals launched from a
+    different CWD than the run)."""
+    cand = Path(p)
+    if cand.is_absolute():
+        return cand
+    if cand.exists():
+        return cand
+    inside = run_dir / subdir / cand.name
+    if inside.exists():
+        return inside
+    raise FileNotFoundError(
+        f"cannot resolve {p!r}: tried CWD-relative and {inside}")
+
+
 def default_loader(run_dir: str | Path, image_root: Optional[str | Path]):
     """Pair loader for a run directory: edited from payload.edited_file,
     input from payload.input_file when the pipeline synthesized one (add/
@@ -151,12 +177,12 @@ def default_loader(run_dir: str | Path, image_root: Optional[str | Path]):
             raise FileNotFoundError(
                 f"ledger entry for {rec.key()} has no edited_file — was the "
                 "run executed with save_images=True?")
-        dst = np.asarray(Image.open(ep if Path(ep).is_absolute()
-                                    else run_dir / ep).convert("RGB"))
+        dst = np.asarray(Image.open(
+            _resolve(ep, run_dir, "edited_img")).convert("RGB"))
         ip = payload.get("input_file")
         if ip is not None:
             src = np.asarray(Image.open(
-                ip if Path(ip).is_absolute() else run_dir / ip).convert("RGB"))
+                _resolve(ip, run_dir, "input_img")).convert("RGB"))
         else:
             if image_root is None:
                 raise FileNotFoundError(

@@ -444,19 +444,26 @@ class ModelZoo:
         return np.asarray(resize_image(u8.astype(jnp.float32), h, w,
                                        "lanczos").astype(jnp.uint8))
 
-    def _quantize_unet(self, unet_cfg, params, args, kw=None):
-        """Float (cfg, params) → W8A8 (UNet, params) pair (ops/quant.py).
+    def _quantize_module(self, qmodule, params, args, kw=None):
+        """Float params → the quant module's W8A8 tree (ops/quant.py).
 
         Params always load/init as the FLOAT tree (converters and
-        checkpoints are float); quantization happens once at slot build."""
-        import dataclasses as dc
+        checkpoints are float); quantization happens once at slot build.
+        `qmodule` is the already-constructed quant=True module; any future
+        load-time transform (e.g. SmoothQuant scale migration) lives HERE,
+        once, for every quantizable backbone."""
         from anyedit_tpu.ops.quant import quantize_params
-        unet = UNet2DCondition(dc.replace(unet_cfg, quant=True))
         kw = kw or {}
         shapes = jax.eval_shape(
-            lambda: unet.init(jax.random.key(self.seed), *args, **kw))
-        return unet, {"params": quantize_params(shapes["params"],
-                                                params["params"])}
+            lambda: qmodule.init(jax.random.key(self.seed), *args, **kw))
+        return qmodule, {"params": quantize_params(shapes["params"],
+                                                   params["params"])}
+
+    def _quantize_unet(self, unet_cfg, params, args, kw=None):
+        import dataclasses as dc
+        return self._quantize_module(
+            UNet2DCondition(dc.replace(unet_cfg, quant=True)), params, args,
+            kw)
 
     def _ip2p_core(self):
         """(unet, params, noise_schedule) — shared by the per-record and the
@@ -1077,13 +1084,9 @@ class ModelZoo:
                                  self.seed)
             if c.quant_diffusion:
                 import dataclasses as dc
-                from anyedit_tpu.ops.quant import quantize_params
-                flux = Flux(dc.replace(c.flux, quant=True))
-                shapes = jax.eval_shape(
-                    lambda: flux.init(jax.random.key(self.seed), x, t, ctx,
-                                      pooled))
-                params = {"params": quantize_params(shapes["params"],
-                                                    params["params"])}
+                flux, params = self._quantize_module(
+                    Flux(dc.replace(c.flux, quant=True)), params,
+                    (x, t, ctx, pooled))
             _, dec = self._vae_named("flux_vae", c.flux_vae)
             t5 = self._t5()
             clip = self._text_raw("clip_text", self.cfg.text)
@@ -1483,13 +1486,9 @@ class ModelZoo:
             params = load_params(mmdit, (x, t, ctx, pooled),
                                  self._wf("mmdit_ultraedit"), self.seed)
             if c.quant_diffusion:
-                from anyedit_tpu.ops.quant import quantize_params
-                mmdit = MMDiT(dc.replace(c.mmdit, quant=True))
-                shapes = jax.eval_shape(
-                    lambda: mmdit.init(jax.random.key(self.seed), x, t, ctx,
-                                       pooled))
-                params = {"params": quantize_params(shapes["params"],
-                                                    params["params"])}
+                mmdit, params = self._quantize_module(
+                    MMDiT(dc.replace(c.mmdit, quant=True)), params,
+                    (x, t, ctx, pooled))
             enc, dec = self._vae_named("sd3_vae", c.sd3_vae)
             t5 = self._t5()
             clip_l = self._text_raw("clip_text", c.text)
