@@ -78,6 +78,8 @@ def main():
             box_threshold=0.0,
             fused_diffusion_loop=False)
         size = 512
+    if "--int8" in sys.argv:    # W8A8 fast mode (ops/quant.py)
+        cfg = dataclasses.replace(cfg, quant_ip2p=True, quant_diffusion=True)
     zoo = ModelZoo(cfg)
     tb = zoo.toolbox(with_diffusion=True, slots=["clip", "aesthetic"])
 
@@ -243,6 +245,7 @@ def main():
             full_path_s += res["seconds"]
     final = {
         "records": total_records, "steps": steps,
+        "mode": "int8" if "--int8" in sys.argv else "bf16",
         "seconds": round(total_s, 2),
         "records_per_hour_chip": round(total_records / total_s * 3600, 1)
         if total_s else None,
@@ -261,8 +264,10 @@ def main():
     # persist as the committed record bench.py rides along (the full
     # stream is too compile-heavy for the driver's bench window)
     if "--tiny" not in sys.argv:
+        name = ("factory_bench_int8.json" if "--int8" in sys.argv
+                else "factory_bench.json")
         out = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "docs", "factory_bench.json")
+            os.path.abspath(__file__))), "docs", name)
         with open(out, "w") as f:
             json.dump(final, f, indent=1)
 
