@@ -208,6 +208,35 @@ def test_flash_int8_matches_sdpa_interpret():
     assert rel < 0.05, rel
 
 
+def test_quant_batched_vs_per_record_drift_bounded():
+    """dp-batched int8 vs per-record int8: the activation scales are
+    per-row/per-sample (mathematically batch-independent), but fp32
+    reduction order differs between batch shapes, and int8 ROUNDING turns
+    last-bit scale differences into discrete jumps that chain across
+    steps — so exact bf16-style batch invariance
+    (test_parallel_edit.py::test_dp_batch_matches_per_record, <2/255)
+    does not hold. Bound the drift instead: a few quant levels of mean
+    divergence, same image content."""
+    from anyedit_tpu.cli import tiny_zoo_config
+    from anyedit_tpu.core.mesh import make_mesh, MeshSpec
+    from anyedit_tpu.runtime.zoo import ModelZoo
+
+    cfg = dataclasses.replace(tiny_zoo_config(), quant_ip2p=True)
+    zoo = ModelZoo(cfg)
+    mesh = make_mesh(MeshSpec(dp=8), devices=jax.devices()[:8])
+    rng = np.random.default_rng(7)
+    imgs = [rng.integers(0, 255, (32, 32, 3), np.uint8) for _ in range(2)]
+    instrs = ["make it red", "add snow"]
+    outs = zoo.ip2p_batch_fn(mesh=mesh, bucket=8)(
+        imgs, instrs, steps=2, seeds=[3, 4])
+    single = zoo.ip2p()
+    for i in range(2):
+        want = single(imgs[i], instrs[i], None, steps=2, seed=3 + i)
+        drift = np.mean(np.abs(outs[i].astype(np.float32)
+                               - want.astype(np.float32)))
+        assert drift < 16.0, drift      # ~6% of the u8 range
+
+
 def test_quantize_params_fails_loudly_on_mismatch():
     cfg = dataclasses.replace(TINY_UNET, quant=True)
     qunet = UNet2DCondition(cfg)
