@@ -425,6 +425,7 @@ def cmd_eval(args) -> int:
     from anyedit_tpu.edits.types import Toolbox
     tb = Toolbox(ground=None, inpaint=None)
     zoo.install(tb, "clip")
+    zoo.install(tb, "dino")     # DINO subject-fidelity metric
     report = evaluate_pairs(tb, entries,
                             default_loader(args.run_dir, args.image_root))
     with open(args.output, "w") as f:

@@ -14,6 +14,9 @@ pair and aggregates per edit type —
   * l1         — mean pixel L1 in [0,1]               (utils.py:102-110)
   * ssim       — structural similarity (AnyEdit implicit best-of-N score,
                   implicit_tool.py:34-127 uses CLIP+SSIM ranking)
+  * dino_sim   — DINOv2 CLS cosine between input and edited (the paper
+                  protocol's subject-fidelity metric; computed when the
+                  toolbox carries the `dino_embed` slot)
   * pass_rate  — fraction of pairs that clear the post-filter thresholds
                   for their edit type (the dataset's acceptance bar)
 
@@ -53,6 +56,7 @@ class PairMetrics:
     dir_clip: Optional[float] = None
     l1: Optional[float] = None
     ssim: Optional[float] = None
+    dino_sim: Optional[float] = None
     passes: Optional[bool] = None
 
 
@@ -100,6 +104,13 @@ def evaluate_pairs(tb, entries: list[dict],
                 jnp.asarray(ie_s), jnp.asarray(ie_t),
                 jnp.asarray(te_s), jnp.asarray(te_t))).ravel()[0])
 
+        dino = getattr(tb, "extra", {}).get("dino_embed") \
+            if hasattr(tb, "extra") else None
+        if dino is not None:
+            e_s = dino(src)
+            e_t = dino(dst)
+            m.dino_sim = float((e_s * e_t).sum())
+
         a, b = _resize_pair(src, dst)
         a01 = a.astype(np.float32)[None] / 255.0      # scorers expect (N,...)
         b01 = b.astype(np.float32)[None] / 255.0
@@ -114,7 +125,8 @@ def evaluate_pairs(tb, entries: list[dict],
 
     def agg(ms: list[PairMetrics]) -> dict:
         out: dict = {"count": len(ms)}
-        for f in ("clip_out", "clip_in", "dir_clip", "l1", "ssim"):
+        for f in ("clip_out", "clip_in", "dir_clip", "l1", "ssim",
+                  "dino_sim"):
             vals = [getattr(x, f) for x in ms if getattr(x, f) is not None]
             if vals:
                 out[f] = {"mean": round(float(np.mean(vals)), 4),

@@ -1795,8 +1795,41 @@ class ModelZoo:
             tb.extra["sdxl_material"] = self.sdxl_material_fn()
         elif slot == "ultraedit":
             tb.extra["ultraedit"] = self.ultraedit_fn()
+        elif slot == "dino":
+            tb.extra["dino_embed"] = self.dino_embed()
         else:
             raise KeyError(f"unknown toolbox slot {slot!r}")
+
+    def dino_embed(self):
+        """(image_u8) → (1, D) L2-normed DINOv2 CLS embedding — the DINO
+        subject-fidelity scorer of the standard editing-eval protocol
+        (paper metric suite; same tower the AnyDoor conditioner uses)."""
+        def build():
+            import dataclasses as dc
+            import functools
+            from anyedit_tpu.models.dinov2 import DinoV2, DINOV2_G, DINOV2_L
+            from anyedit_tpu.ops.resize import imagenet_normalize, resize_image
+            cfg = dc.replace(DINOV2_G, img_size=224) if self.weights \
+                else dc.replace(DINOV2_L, img_size=56, depth=2, dim=64,
+                                heads=2)
+            model = DinoV2(cfg)
+            px0 = jnp.zeros((1, cfg.img_size, cfg.img_size, 3), jnp.float32)
+            params = load_params(model, (px0,), self._wf("dinov2_g"),
+                                 self.seed)
+
+            @jax.jit
+            def run(params, px):
+                cls = model.apply(params, px)["cls"]
+                return cls / jnp.maximum(
+                    jnp.linalg.norm(cls, axis=-1, keepdims=True), 1e-8)
+
+            def embed(image_u8):
+                px = resize_image(
+                    jnp.asarray(image_u8, jnp.float32)[None] / 255.0,
+                    cfg.img_size, cfg.img_size, "bilinear")
+                return np.asarray(run(params, imagenet_normalize(px)))
+            return embed
+        return self._get("dino_embed", build)
 
     def toolbox(self, with_diffusion: bool = True,
                 with_anydoor: bool = False,

@@ -53,6 +53,7 @@ def test_eval_cli_over_tiny_run(tmp_path):
     assert 0.0 <= pair["l1"] <= 1.0
     assert -1.0 <= pair["ssim"] <= 1.0
     assert -1.0 <= pair["clip_out"] <= 1.0
+    assert -1.0 <= pair["dino_sim"] <= 1.0 + 1e-6
     assert pair["passes"] in (True, False)
     assert 0.0 <= rep["overall"]["pass_rate"] <= 1.0
 
