@@ -180,32 +180,39 @@ def flash_nomax(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
     )(q, k, v)
 
 
-def _flash_int8_kernel(fac_ref, q_ref, k_ref, v_ref, o_ref, *,
+def _flash_int8_kernel(fac_ref, q_ref, k_ref, v_ref, sv_ref, o_ref, *,
                        kv_len: int, block_k: int):
     """Online-softmax flash with INT8 matmuls (one (head, q-block)).
 
-    q/k/v arrive pre-quantized int8 (per-tensor symmetric, quantized by
-    the caller where XLA fuses the round/clip into the preceding
-    projection); `fac_ref` (SMEM) carries the two dequant factors:
-    fac[0] = scale_q·scale_k·softmax_scale (logits), fac[1] = scale_v/127
-    (PV: probs are quantized onto a fixed /127 grid — they live in (0,1]
-    after the running-max subtraction, so the grid is exact-range).
-    Both contractions hit the MXU's int8 path (~2× the bf16 rate on v5e);
-    softmax stays fp32.
+    Scale granularity (each the finest that keeps the contraction linear):
+      * q — per-ROW, computed IN-kernel from the fp32 q block (rows are
+        softmax-independent, so a row factor folds into the logits);
+      * k — per-TENSOR, quantized by the caller; `fac_ref[0]` (SMEM) =
+        scale_k · softmax_scale;
+      * v — per-CHANNEL (`sv_ref`, (1, D)); constant across kv chunks, so
+        it factors out of the online accumulation and is applied once at
+        the end (exact);
+      * p — fixed /127 grid: probs live in (0, 1] after the running-max
+        subtraction, so the grid is exact-range.
+    Both contractions hit the MXU's int8 path (~2× the bf16 rate on
+    v5e); softmax stays fp32.
     """
-    qk_f = fac_ref[0]
-    v_f = fac_ref[1]
-    q = q_ref[0]                                      # (BQ, D) int8
+    kf = fac_ref[0]
+    q = q_ref[0].astype(jnp.float32)                  # (BQ, D) fp32
     bq, d = q.shape
+    sq = jnp.maximum(jnp.max(jnp.abs(q), axis=-1, keepdims=True),
+                     1e-8) / 127.0                    # (BQ, 1)
+    q8 = jnp.round(q / sq).astype(jnp.int8)           # |·| ≤ 127 by constr.
+    row_f = sq * kf                                   # (BQ, 1)
     n_chunks = k_ref.shape[1] // block_k
 
     def chunk(ci, carry):
         acc, m_prev, l_prev = carry
         k = k_ref[0, pl.ds(ci * block_k, block_k), :]            # int8
         v = v_ref[0, pl.ds(ci * block_k, block_k), :]            # int8
-        s32 = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+        s32 = jax.lax.dot_general(q8, k, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.int32)
-        s = s32.astype(jnp.float32) * qk_f
+        s = s32.astype(jnp.float32) * row_f
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ci * block_k
         s = jnp.where(col < kv_len, s, -jnp.inf)
         m_cur = jnp.max(s, axis=-1, keepdims=True)
@@ -216,14 +223,15 @@ def _flash_int8_kernel(fac_ref, q_ref, k_ref, v_ref, o_ref, *,
                                  preferred_element_type=jnp.int32)
         correction = jnp.exp(m_prev - m_new)
         l_new = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * correction + pv.astype(jnp.float32) * v_f
+        acc = acc * correction + pv.astype(jnp.float32)
         return acc, m_new, l_new
 
     acc0 = jnp.zeros((bq, d), jnp.float32)
     m0 = jnp.full((bq, 1), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((bq, 1), jnp.float32)
     acc, _, l = jax.lax.fori_loop(0, n_chunks, chunk, (acc0, m0, l0))
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    out = acc * (sv_ref[0] / 127.0) / jnp.maximum(l, 1e-30)
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
 def flash_int8(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
@@ -231,21 +239,20 @@ def flash_int8(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
                kv_len: int | None = None,
                interpret: bool = False) -> jnp.ndarray:
     """INT8-matmul flash attention on padded shapes. q/k/v: (BH, L, D)
-    float; quantization happens here (per-tensor symmetric). D % 128 == 0
-    and L % block_q == 0 == L % block_k. A caller that pads L must pass
-    the TRUE key count as `kv_len` so padded columns are masked to -inf
-    before the softmax (default: L, i.e. no padding)."""
+    float; quantization happens here (q per-row in-kernel, k per-tensor,
+    v per-channel). D % 128 == 0 and L % block_q == 0 == L % block_k. A
+    caller that pads L must pass the TRUE key count as `kv_len` so padded
+    columns are masked to -inf before the softmax (default: L)."""
     bh, l, d = q.shape
-    qf = q.astype(jnp.float32)
     kf = k.astype(jnp.float32)
     vf = v.astype(jnp.float32)
-    sq = jnp.maximum(jnp.max(jnp.abs(qf)), 1e-8) / 127.0
     sk = jnp.maximum(jnp.max(jnp.abs(kf)), 1e-8) / 127.0
-    sv = jnp.maximum(jnp.max(jnp.abs(vf)), 1e-8) / 127.0
-    q8 = jnp.clip(jnp.round(qf / sq), -127, 127).astype(jnp.int8)
+    sv = jnp.maximum(jnp.max(jnp.abs(vf), axis=1, keepdims=True),
+                     1e-8) / 127.0                    # (BH, 1, D)
     k8 = jnp.clip(jnp.round(kf / sk), -127, 127).astype(jnp.int8)
     v8 = jnp.clip(jnp.round(vf / sv), -127, 127).astype(jnp.int8)
-    fac = jnp.stack([sq * sk * scale, sv / 127.0]).astype(jnp.float32)
+    fac = (sk * scale).reshape(1).astype(jnp.float32)
+    sv_f = sv.astype(jnp.float32)   # kernel applies sv/127 (the p8 grid)
     kernel = functools.partial(_flash_int8_kernel,
                                kv_len=l if kv_len is None else kv_len,
                                block_k=block_k)
@@ -260,6 +267,8 @@ def flash_int8(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, l, d), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
@@ -270,7 +279,7 @@ def flash_int8(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
             transcendentals=bh * l * l,
         ),
         interpret=interpret,
-    )(fac, q8, k8, v8)
+    )(fac, q, k8, v8, sv_f)
 
 
 def _on_tpu() -> bool:

@@ -205,7 +205,7 @@ def test_flash_int8_matches_sdpa_interpret():
                     k.reshape(bh, 1, l, d), v.reshape(bh, 1, l, d),
                     scale=scale).reshape(bh, l, d)
     rel = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
-    assert rel < 0.05, rel
+    assert rel < 0.03, rel      # per-row q / per-channel v scales
 
 
 def test_quant_batched_vs_per_record_drift_bounded():
