@@ -36,6 +36,11 @@ class LlamaConfig:
     norm_eps: float = 1e-5
     qkv_bias: bool = False       # Qwen2-family (GOT-OCR2's LM) uses biases
     dtype: Any = jnp.bfloat16
+    # W8A8 int8 block projections (ops/quant.py): halves decode-time HBM
+    # weight traffic (the decode bound) and doubles prefill MXU rate.
+    # Embedding, lm_head and norms stay float. Opt-in — LLM activation
+    # outliers make int8 riskier here than on the diffusion UNets.
+    quant: bool = False
 
 
 LLAMA3_8B = LlamaConfig()
@@ -78,10 +83,13 @@ class LlamaBlock(nn.Module):
         c = self.cfg
         hd = c.dim // c.heads
         b, l, _ = x.shape
+        from anyedit_tpu.ops.quant import make_dense
+        dense = lambda n, f, bias: make_dense(f, quant=c.quant, use_bias=bias,
+                                              dtype=c.dtype, name=n)
         h = RMSNorm(c.norm_eps, name="attn_norm")(x)
-        q = nn.Dense(c.heads * hd, use_bias=c.qkv_bias, dtype=c.dtype, name="wq")(h)
-        k = nn.Dense(c.kv_heads * hd, use_bias=c.qkv_bias, dtype=c.dtype, name="wk")(h)
-        v = nn.Dense(c.kv_heads * hd, use_bias=c.qkv_bias, dtype=c.dtype, name="wv")(h)
+        q = dense("wq", c.heads * hd, c.qkv_bias)(h)
+        k = dense("wk", c.kv_heads * hd, c.qkv_bias)(h)
+        v = dense("wv", c.kv_heads * hd, c.qkv_bias)(h)
         q = q.reshape(b, l, c.heads, hd).transpose(0, 2, 1, 3)
         k = k.reshape(b, l, c.kv_heads, hd).transpose(0, 2, 1, 3)
         v = v.reshape(b, l, c.kv_heads, hd).transpose(0, 2, 1, 3)
@@ -107,13 +115,11 @@ class LlamaBlock(nn.Module):
         o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
                        preferred_element_type=jnp.float32)
         o = o.transpose(0, 2, 1, 3).reshape(b, l, c.heads * hd)
-        x = x + nn.Dense(c.dim, use_bias=False, dtype=c.dtype,
-                         name="wo")(o.astype(c.dtype))
+        x = x + dense("wo", c.dim, False)(o.astype(c.dtype))
         h = RMSNorm(c.norm_eps, name="mlp_norm")(x)
-        gate = nn.Dense(c.ffn_dim, use_bias=False, dtype=c.dtype, name="w_gate")(h)
-        up = nn.Dense(c.ffn_dim, use_bias=False, dtype=c.dtype, name="w_up")(h)
-        x = x + nn.Dense(c.dim, use_bias=False, dtype=c.dtype, name="w_down")(
-            nn.silu(gate) * up)
+        gate = dense("w_gate", c.ffn_dim, False)(h)
+        up = dense("w_up", c.ffn_dim, False)(h)
+        x = x + dense("w_down", c.dim, False)(nn.silu(gate) * up)
         return x, new_cache
 
 

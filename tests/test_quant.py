@@ -237,6 +237,30 @@ def test_quant_batched_vs_per_record_drift_bounded():
         assert drift < 16.0, drift      # ~6% of the u8 range
 
 
+def test_llama_quant_end_to_end():
+    """Llama (instruction-gen LLM) quant=True forward tracks float — the
+    W8A8 block projections must preserve next-token logit ordering at
+    tiny random-weight scale."""
+    from anyedit_tpu.models.llama import Llama, TINY_LLAMA
+
+    cfg = TINY_LLAMA
+    qcfg = dataclasses.replace(cfg, quant=True)
+    key = jax.random.key(0)
+    ids = jax.random.randint(jax.random.key(1), (1, 9), 0, cfg.vocab_size)
+    m, qm = Llama(cfg), Llama(qcfg)
+    fparams = m.init(key, ids)
+    shapes = jax.eval_shape(lambda: qm.init(key, ids))
+    qparams = {"params": quantize_params(shapes["params"],
+                                         fparams["params"])}
+    want = m.apply(fparams, ids)
+    got = qm.apply(qparams, ids)
+    w = want[0] if isinstance(want, tuple) else want
+    g = got[0] if isinstance(got, tuple) else got
+    assert np.isfinite(np.asarray(g)).all()
+    cos = float(jnp.sum(g * w) / (jnp.linalg.norm(g) * jnp.linalg.norm(w)))
+    assert cos > 0.95, cos
+
+
 def test_quantize_params_fails_loudly_on_mismatch():
     cfg = dataclasses.replace(TINY_UNET, quant=True)
     qunet = UNet2DCondition(cfg)
