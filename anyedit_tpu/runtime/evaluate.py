@@ -10,6 +10,8 @@ pair and aggregates per edit type —
 
   * clip_out   — CLIP(edited image, output caption)   (utils.py:24-40)
   * clip_in    — CLIP(input image, input caption)
+  * clip_im    — CLIPim: input↔edited image cosine (paper protocol's
+                  consistency metric)
   * dir_clip   — directional CLIP                     (utils.py:284-301)
   * l1         — mean pixel L1 in [0,1]               (utils.py:102-110)
   * ssim       — structural similarity (AnyEdit implicit best-of-N score,
@@ -53,6 +55,7 @@ class PairMetrics:
     edit_type: str
     clip_out: Optional[float] = None
     clip_in: Optional[float] = None
+    clip_im: Optional[float] = None         # CLIPim: input↔edited cosine
     dir_clip: Optional[float] = None
     l1: Optional[float] = None
     ssim: Optional[float] = None
@@ -100,6 +103,7 @@ def evaluate_pairs(tb, entries: list[dict],
             te_t = np.asarray(tb.clip_text(rec.output))
             m.clip_in = float((ie_s * te_s).sum())
             m.clip_out = float((ie_t * te_t).sum())
+            m.clip_im = float((ie_s * ie_t).sum())
             m.dir_clip = float(np.asarray(directional_clip_score(
                 jnp.asarray(ie_s), jnp.asarray(ie_t),
                 jnp.asarray(te_s), jnp.asarray(te_t))).ravel()[0])
@@ -125,8 +129,8 @@ def evaluate_pairs(tb, entries: list[dict],
 
     def agg(ms: list[PairMetrics]) -> dict:
         out: dict = {"count": len(ms)}
-        for f in ("clip_out", "clip_in", "dir_clip", "l1", "ssim",
-                  "dino_sim"):
+        for f in ("clip_out", "clip_in", "clip_im", "dir_clip", "l1",
+                  "ssim", "dino_sim"):
             vals = [getattr(x, f) for x in ms if getattr(x, f) is not None]
             if vals:
                 out[f] = {"mean": round(float(np.mean(vals)), 4),
