@@ -262,7 +262,7 @@ def cmd_train(args) -> int:
                               method=AutoencoderKL.encode)
         o_mean, _ = vae.apply(vae_p, batch["orig_px"],
                               method=AutoencoderKL.encode)
-        hidden, _ = text.apply(text_p, batch["text_ids"])
+        hidden, _, _ = text.apply(text_p, batch["text_ids"])
         px = resize_image(batch["orig_px"] * 0.5 + 0.5, vis_cfg.image_size,
                           vis_cfg.image_size, "bilinear")
         _, emb = vision.apply(vis_p, imagenet_normalize(px))

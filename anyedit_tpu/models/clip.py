@@ -28,14 +28,18 @@ class CLIPTextConfig:
     dtype: Any = jnp.bfloat16
     # "quick_gelu" for OpenAI CLIP (SD1.x text encoder), "gelu" for OpenCLIP
     activation: str = "quick_gelu"
+    # >0 → the checkpoint is a CLIPTextModelWithProjection: `pooled` gets a
+    # bias-free Dense to this dim (SDXL text_encoder_2, both SD3 CLIP towers).
+    text_proj: int = 0
 
 
 CLIP_L_TEXT = CLIPTextConfig()                                     # SD1.5 / ViT-L
 CLIP_H_TEXT = CLIPTextConfig(hidden=1024, layers=24, heads=16, activation="gelu")
 CLIP_B32_TEXT = CLIPTextConfig(hidden=512, layers=12, heads=8)
-# OpenCLIP bigG — SDXL's second tower (ctx 2048 = 768 + 1280 concat)
+# OpenCLIP bigG — SDXL's second tower (ctx 2048 = 768 + 1280 concat).
+# SDXL/SD3 ship it as CLIPTextModelWithProjection → projected pooled.
 CLIP_BIGG_TEXT = CLIPTextConfig(hidden=1280, layers=32, heads=20,
-                                activation="gelu")
+                                activation="gelu", text_proj=1280)
 TINY_TEXT = CLIPTextConfig(vocab_size=256, hidden=32, layers=2, heads=2, max_len=16)
 
 
@@ -78,7 +82,9 @@ TINY_VISION = CLIPVisionConfig(image_size=32, patch=8, hidden=32, layers=2,
 def _act(name: str):
     if name == "quick_gelu":
         return lambda x: x * nn.sigmoid(1.702 * x)
-    return nn.gelu
+    # HF "gelu" / OpenCLIP nn.GELU are the EXACT erf form; flax defaults to
+    # the tanh approximation (≈3e-4 drift per MLP — visible in golden tests).
+    return lambda x: nn.gelu(x, approximate=False)
 
 
 class CLIPBlock(nn.Module):
@@ -117,8 +123,13 @@ class CLIPBlock(nn.Module):
 
 
 class CLIPTextEncoder(nn.Module):
-    """Returns (last_hidden (B,L,H), pooled (B,H)). `pooled` = EOS-token
-    embedding (argmax of ids, CLIP convention)."""
+    """Returns (last_hidden (B,L,H), pooled (B,H or text_proj), penult
+    (B,L,H)). `pooled` = EOS-token embedding (argmax of ids, CLIP
+    convention), projected when cfg.text_proj > 0 (the HF
+    CLIPTextModelWithProjection `text_embeds`). `penult` = the layer -2
+    hidden states WITHOUT the final LayerNorm — the diffusers clip_skip
+    convention SDXL/SD3 condition on (pipeline_stable_diffusion_xl
+    `hidden_states[-2]`; reference attribute_tool.py:210-258 inherits it)."""
 
     cfg: CLIPTextConfig = CLIP_L_TEXT
 
@@ -131,13 +142,20 @@ class CLIPTextEncoder(nn.Module):
                          (c.max_len, c.hidden), jnp.float32)
         x = tok + pos[None, :l].astype(c.dtype)
         causal = jnp.triu(jnp.full((l, l), -jnp.inf, jnp.float32), k=1)[None, None]
+        penult = x
         for i in range(c.layers):
+            if i == c.layers - 1:
+                penult = x
             x = CLIPBlock(c.hidden, c.heads, c.dtype, c.activation,
                           f"text.{i}", name=f"block_{i}")(x, causal)
         x = LayerNorm(dtype=c.dtype, name="ln_final")(x)
         eos = jnp.argmax(ids, axis=-1)
-        pooled = x[jnp.arange(b), eos]
-        return x.astype(jnp.float32), pooled.astype(jnp.float32)
+        pooled = x[jnp.arange(b), eos].astype(jnp.float32)
+        if c.text_proj:
+            pooled = nn.Dense(c.text_proj, use_bias=False, dtype=jnp.float32,
+                              name="text_proj")(pooled)
+        return (x.astype(jnp.float32), pooled,
+                penult.astype(jnp.float32))
 
 
 class CLIPTextModel(nn.Module):
@@ -148,7 +166,7 @@ class CLIPTextModel(nn.Module):
 
     @nn.compact
     def __call__(self, ids):
-        _, pooled = CLIPTextEncoder(self.cfg, name="encoder")(ids)
+        _, pooled, _ = CLIPTextEncoder(self.cfg, name="encoder")(ids)
         z = nn.Dense(self.proj_dim, use_bias=False, dtype=jnp.float32,
                      name="text_proj")(pooled)
         return z / jnp.linalg.norm(z, axis=-1, keepdims=True)

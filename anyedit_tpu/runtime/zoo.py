@@ -376,15 +376,16 @@ class ModelZoo:
 
     def _text_xl(self):
         """SDXL dual-tower conditioning: text → (ctx (1,77,768+1280),
-        pooled_g (1,1280)) — CLIP-L hidden ⊕ OpenCLIP-bigG hidden; the
-        pooled micro-conditioning comes from the bigG tower (diffusers
-        SDXL pipeline convention)."""
+        pooled_g (1,1280)) — penultimate-layer (clip_skip / diffusers
+        `hidden_states[-2]`, no final LN) CLIP-L ⊕ OpenCLIP-bigG hidden;
+        the pooled micro-conditioning is the bigG tower's PROJECTED
+        pooled (text_encoder_2 is a CLIPTextModelWithProjection)."""
         raw_l = self._text_raw("clip_text", self.cfg.text)
         raw_g = self._text_raw("clip_text_g", self.cfg.text_g)
 
         def encode(text: str):
-            hl, _ = raw_l(text)
-            hg, pg = raw_g(text)
+            _, _, hl = raw_l(text)
+            _, pg, hg = raw_g(text)
             return jnp.concatenate([hl, hg], axis=-1), pg
         return encode
 
@@ -1101,7 +1102,9 @@ class ModelZoo:
                 ctx = t5(prompt).astype(jnp.bfloat16)
                 if ctx.shape[-1] != c.flux.context_dim:
                     raise ValueError("flux_text.dim must equal flux.context_dim")
-                _, pooled = clip(prompt)
+                # Flux conditions on the UNPROJECTED CLIP-L pooled (HF
+                # FluxPipeline uses plain CLIPTextModel pooler_output).
+                _, pooled, _ = clip(prompt)
                 out = run(params, ctx, pooled, jax.random.key(seed), steps)
                 size = self.cfg.canvas.edit_size
                 return self._from_latents(out, dec, c.flux_vae.scaling_factor,
@@ -1491,17 +1494,25 @@ class ModelZoo:
                     (x, t, ctx, pooled))
             enc, dec = self._vae_named("sd3_vae", c.sd3_vae)
             t5 = self._t5()
-            clip_l = self._text_raw("clip_text", c.text)
+            # SD3 ships BOTH CLIP towers as CLIPTextModelWithProjection;
+            # its L tower is therefore a distinct slot from SD1.5's
+            # projection-free text encoder (convert from the SD3
+            # checkpoint's own text_encoder/).
+            import dataclasses as _dc
+            clip_l = self._text_raw(
+                "clip_text_sd3",
+                _dc.replace(c.text, text_proj=c.text.hidden))
             clip_g = self._text_raw("clip_text_g", c.text_g)
 
             def _cond(text: str):
                 """SD3 conditioning, diffusers pipeline_stable_diffusion_3
-                layout: ctx = [CLIP-L⊕CLIP-bigG hidden, zero-padded on
-                channels to the T5 width] ⊕_seq T5 hidden; pooled =
+                layout: ctx = [penultimate-layer (clip_skip, no final LN)
+                CLIP-L⊕CLIP-bigG hidden, zero-padded on channels to the
+                T5 width] ⊕_seq T5 hidden; pooled = projected
                 pooled_l ⊕ pooled_g."""
                 t5_ctx = t5(text)
-                hl, pl = clip_l(text)
-                hg, pg = clip_g(text)
+                _, pl, hl = clip_l(text)
+                _, pg, hg = clip_g(text)
                 clip_ctx = jnp.concatenate([hl, hg], axis=-1)
                 pad = c.mmdit.context_dim - clip_ctx.shape[-1]
                 if pad > 0:

@@ -61,10 +61,10 @@ class AnySDEditor:
         @functools.partial(jax.jit, static_argnames=("steps",))
         def _run_jit(text_p, adapter_p, unet_p, lat_in, ids, emb, task, k,
                      steps, s_txt, s_img):
-            hidden, _ = f.text.apply(text_p, ids)
+            hidden, _, _ = f.text.apply(text_p, ids)
             tok = self.trainer.adapter.apply(adapter_p, emb, task)
             cond = jnp.concatenate([hidden, tok.astype(hidden.dtype)], 1)
-            hid_u, _ = f.text.apply(text_p, jnp.zeros_like(ids))
+            hid_u, _, _ = f.text.apply(text_p, jnp.zeros_like(ids))
             uncond = jnp.concatenate([hid_u, tok.astype(hidden.dtype)], 1)
 
             def eps_fn(x, t, c_):

@@ -58,11 +58,15 @@ def _vae(src):
     return C.convert_vae(tree, src, n_levels=len(SD_VAE.block_channels))
 
 
-def _clip_text(cfg_name: str):
+def _clip_text(cfg_name: str, text_proj: int = 0):
     from anyedit_tpu.models import clip
 
     def build(src):
-        m = clip.CLIPTextEncoder(getattr(clip, cfg_name))
+        import dataclasses as dc
+        cfg = getattr(clip, cfg_name)
+        if text_proj:
+            cfg = dc.replace(cfg, text_proj=text_proj)
+        m = clip.CLIPTextEncoder(cfg)
         tree = _abstract(m, jnp.zeros((1, 77), jnp.int32))
         return C.convert_clip_text(tree, src)
     return build
@@ -356,6 +360,8 @@ REGISTRY: dict[str, tuple[str, Callable]] = {
     "unet_refine": ("stabilityai/sdxl-base unet", _unet_refine),
     "vae": ("SD1.5 vae", _vae),
     "clip_text": ("openai/clip-vit-large-patch14 text", _clip_text("CLIP_L_TEXT")),
+    "clip_text_sd3": ("SD3 CLIP-L text w/ projection (text_encoder/)",
+                      _clip_text("CLIP_L_TEXT", text_proj=768)),
     "clip_text_g": ("laion CLIP-bigG text (SDXL tower 2)", _clip_text_g),
     "t5": ("T5-XXL v1.1 encoder (Flux/SD3)", _t5),
     "llama": ("Llama-3-8B-Instruct", _llama),

@@ -248,6 +248,10 @@ def _clip_text_key(path: tuple[str, ...]) -> tuple[str, Callable]:
         return f"{base}.embeddings.position_embedding.weight", t_id
     if name == "ln_final":
         return norm(f"{base}.final_layer_norm")
+    if name == "text_proj":
+        # CLIPTextModelWithProjection head (SDXL text_encoder_2 / SD3
+        # towers); bias-free, lives OUTSIDE the text_model prefix.
+        return "text_projection.weight", t_linear
     import re
     m = re.match(r"block_(\d+)$", name)
     if m:

@@ -45,25 +45,42 @@ def _require_dir(src: str | Path, name: str) -> Path:
 
 
 def _verify_clip_text(src: str) -> float:
-    from transformers import CLIPTextModel
+    import transformers
     from anyedit_tpu.models.clip import CLIPTextConfig, CLIPTextEncoder
-    hf = CLIPTextModel.from_pretrained(_require_dir(src, "clip_text")).eval()
+    d = _require_dir(src, "clip_text")
+    hc = transformers.AutoConfig.from_pretrained(d)
+    if hc.model_type == "clip":        # full CLIP config → text sub-config
+        hc = hc.text_config
+    # SDXL tower-2 / SD3 towers ship as CLIPTextModelWithProjection —
+    # verify the projected pooled + penultimate hidden in that case.
+    with_proj = "WithProjection" in (getattr(hc, "architectures", None)
+                                     or [""])[0]
+    cls = (transformers.CLIPTextModelWithProjection if with_proj
+           else transformers.CLIPTextModel)
+    hf = cls.from_pretrained(d).eval()
     hc = hf.config
     cfg = CLIPTextConfig(vocab_size=hc.vocab_size, hidden=hc.hidden_size,
                          layers=hc.num_hidden_layers,
                          heads=hc.num_attention_heads,
                          max_len=hc.max_position_embeddings,
-                         activation=hc.hidden_act, dtype=jnp.float32)
+                         activation=hc.hidden_act, dtype=jnp.float32,
+                         text_proj=hc.projection_dim if with_proj else 0)
     ours = CLIPTextEncoder(cfg)
     ids = np.array([[min(9, cfg.vocab_size - 1), 1, 2,
                      cfg.vocab_size - 1]], np.int64)
     tree = {"params": C.convert_clip_text(
         _abstract(ours, jnp.asarray(ids, jnp.int32)), _np_state(hf))}
-    hidden, _ = ours.apply(tree, jnp.asarray(ids, jnp.int32))
+    hidden, pooled, penult = ours.apply(tree, jnp.asarray(ids, jnp.int32))
     import torch
     with torch.no_grad():
-        want = hf(torch.from_numpy(ids)).last_hidden_state.numpy()
-    return float(np.abs(np.asarray(hidden) - want).max())
+        out = hf(torch.from_numpy(ids), output_hidden_states=True)
+    err = np.abs(np.asarray(hidden) - out.last_hidden_state.numpy()).max()
+    err = max(err, np.abs(np.asarray(penult)
+                          - out.hidden_states[-2].numpy()).max())
+    if with_proj:
+        err = max(err, np.abs(np.asarray(pooled)
+                              - out.text_embeds.numpy()).max())
+    return float(err)
 
 
 def _verify_clip_vision(src: str) -> float:
@@ -252,6 +269,7 @@ def _verify_gdino(src: str) -> float:
 
 VERIFIERS: dict[str, Callable[[str], float]] = {
     "clip_text": _verify_clip_text,
+    "clip_text_sd3": _verify_clip_text,
     "clip_text_g": _verify_clip_text,
     "clip_vision": _verify_clip_vision,
     "t5": _verify_t5,

@@ -62,15 +62,49 @@ def test_clip_text_matches_hf():
     ids = np.array([[125, 9, 33, 77, 126]], np.int64)
     tree = ours.init(jax.random.key(0), jnp.asarray(ids, jnp.int32))
     tree = {"params": convert_clip_text(tree["params"], _np_state(hf))}
-    hidden_ours, pooled_ours = ours.apply(tree, jnp.asarray(ids, jnp.int32))
+    hidden_ours, pooled_ours, penult_ours = ours.apply(
+        tree, jnp.asarray(ids, jnp.int32))
     with torch.no_grad():
-        out_hf = hf(torch.from_numpy(ids))
+        out_hf = hf(torch.from_numpy(ids), output_hidden_states=True)
     np.testing.assert_allclose(np.asarray(hidden_ours),
                                out_hf.last_hidden_state.numpy(), atol=1e-4)
     # our pooled = argmax(ids) hidden state; HF pooled uses eos_token_id —
     # identical when EOT is the max id (the real CLIP vocab layout)
     np.testing.assert_allclose(np.asarray(pooled_ours),
                                out_hf.pooler_output.numpy(), atol=1e-4)
+    # penult = hidden_states[-2], the clip_skip layer SDXL/SD3 condition on
+    # (pre final-LN, diffusers pipeline_stable_diffusion_xl convention)
+    np.testing.assert_allclose(np.asarray(penult_ours),
+                               out_hf.hidden_states[-2].numpy(), atol=1e-4)
+
+
+def test_clip_text_with_projection_matches_hf():
+    """SDXL text_encoder_2 / SD3 tower checkpoints: projected pooled
+    (`text_embeds`) must match HF CLIPTextModelWithProjection."""
+    from transformers import CLIPTextConfig as HFClipCfg
+    from transformers import CLIPTextModelWithProjection
+    from anyedit_tpu.models.clip import CLIPTextConfig, CLIPTextEncoder
+    from anyedit_tpu.weights.convert import convert_clip_text
+
+    hf_cfg = HFClipCfg(vocab_size=128, hidden_size=32, num_hidden_layers=2,
+                       num_attention_heads=2, intermediate_size=128,
+                       max_position_embeddings=16, hidden_act="gelu",
+                       attention_dropout=0.0, eos_token_id=126,
+                       bos_token_id=125, projection_dim=24)
+    torch.manual_seed(3)
+    hf = CLIPTextModelWithProjection(hf_cfg).eval()
+
+    ours = CLIPTextEncoder(CLIPTextConfig(
+        vocab_size=128, hidden=32, layers=2, heads=2, max_len=16,
+        dtype=jnp.float32, activation="gelu", text_proj=24))
+    ids = np.array([[125, 4, 11, 126]], np.int64)
+    tree = ours.init(jax.random.key(0), jnp.asarray(ids, jnp.int32))
+    tree = {"params": convert_clip_text(tree["params"], _np_state(hf))}
+    _, pooled_ours, _ = ours.apply(tree, jnp.asarray(ids, jnp.int32))
+    with torch.no_grad():
+        out_hf = hf(torch.from_numpy(ids))
+    np.testing.assert_allclose(np.asarray(pooled_ours),
+                               out_hf.text_embeds.numpy(), atol=1e-4)
 
 
 def test_clip_vision_matches_hf():

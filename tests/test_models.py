@@ -118,9 +118,12 @@ def test_clip_text_causality_and_pool():
     key = jax.random.key(4)
     ids = jnp.array([[1, 5, 9, 200, 3, 0, 0, 0]])
     params = model.init(key, ids)
-    h1, p1 = model.apply(params, ids)
+    h1, p1, pen1 = model.apply(params, ids)
     ids2 = ids.at[0, 6].set(77)  # change a LATER token
-    h2, p2 = model.apply(params, ids2)
+    h2, p2, pen2 = model.apply(params, ids2)
+    # penultimate hidden obeys the same causality
+    np.testing.assert_allclose(np.asarray(pen1[0, :5]),
+                               np.asarray(pen2[0, :5]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(h1[0, :5]), np.asarray(h2[0, :5]),
                                atol=1e-5)
     # pooled = EOS position (argmax id = 200 at pos 3)
