@@ -356,7 +356,9 @@ class ModelZoo:
 
     # ---- diffusion editors ---------------------------------------------
     def _text_raw(self, cache_name: str, tcfg: CLIPTextConfig):
-        """CLIP tower: text → (hidden (1,L,H), pooled (1,H)), both fp32."""
+        """CLIP tower: text → (hidden (1,L,H), pooled (1,H or text_proj),
+        penult (1,L,H)) — fp32; penult = layer -2 hidden states without the
+        final LN (diffusers clip_skip convention, models/clip.py)."""
         def build():
             te = CLIPTextEncoder(tcfg)
             ml = tcfg.max_len

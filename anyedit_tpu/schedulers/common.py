@@ -90,8 +90,12 @@ def velocity_target(ns: NoiseSchedule, x0: jnp.ndarray, noise: jnp.ndarray,
 
 def pred_x0(ns: NoiseSchedule, model_out: jnp.ndarray, sample: jnp.ndarray,
             t: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Convert a model output into (x0_hat, eps_hat) per prediction_type."""
+    """Convert a model output into (x0_hat, eps_hat) per prediction_type.
+
+    `t` may be a scalar (sampler loops) or per-sample (B,) (training /
+    distillation draws a different level per record)."""
     acp = ns.alphas_cumprod[t].astype(sample.dtype)
+    acp = acp.reshape((-1,) + (1,) * (sample.ndim - 1)) if acp.ndim else acp
     sqrt_acp = jnp.sqrt(acp)
     sqrt_1macp = jnp.sqrt(1.0 - acp)
     if ns.prediction_type == "epsilon":
