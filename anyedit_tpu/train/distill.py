@@ -98,6 +98,13 @@ class LCMDistiller:
     def __init__(self, cfg: DistillConfig, ns: NoiseSchedule | None = None):
         self.cfg = cfg
         self.ns = ns or make_noise_schedule()
+        # _teacher_eps combines CFG rows in eps-space and _ddim_skip inverts
+        # x0 with the epsilon formula; other prediction types would need the
+        # teacher output routed through pred_x0 first.
+        if self.ns.prediction_type != "epsilon":
+            raise ValueError(
+                "LCMDistiller requires an epsilon-prediction schedule, got "
+                f"{self.ns.prediction_type!r}")
         self.st = ddim_init(self.ns, cfg.num_ddim_steps)
         self.unet = UNet2DCondition(cfg.unet)
         self.tx = optax.chain(optax.clip_by_global_norm(1.0),
@@ -137,8 +144,7 @@ class LCMDistiller:
     def _ddim_skip(self, x_t, eps, t_hi, t_lo):
         """Deterministic DDIM jump t_hi → t_lo with per-sample timesteps."""
         acp_hi = _bc(self.ns.alphas_cumprod[t_hi])
-        acp_lo = _bc(jnp.where(t_lo >= 0, self.ns.alphas_cumprod[
-            jnp.maximum(t_lo, 0)], 1.0))
+        acp_lo = _bc(self.ns.alphas_cumprod[t_lo])
         x = x_t.astype(jnp.float32)
         x0 = (x - jnp.sqrt(1.0 - acp_hi) * eps) / jnp.sqrt(acp_hi)
         return jnp.sqrt(acp_lo) * x0 + jnp.sqrt(1.0 - acp_lo) * eps
@@ -153,10 +159,11 @@ class LCMDistiller:
         grid = self.st.timesteps                      # (N,) descending
         n = jax.random.randint(k_i, (b,), 0,
                                cfg.num_ddim_steps - cfg.skip)
+        # n + skip < num_ddim_steps by the randint bound, so t_lo always
+        # indexes a real grid entry (set_alpha_to_one=False convention:
+        # the grid never steps to t=0 / acp=1 — matches ddim_init).
         t_hi = grid[n]
-        t_lo_raw = grid[n + cfg.skip]
-        # the final grid entry steps to t=0 ⇒ acp=1 handled in _ddim_skip
-        t_lo = jnp.where(n + cfg.skip < cfg.num_ddim_steps, t_lo_raw, -1)
+        t_lo = grid[n + cfg.skip]
 
         noise = jax.random.normal(k_n, batch["edited_latents"].shape,
                                   jnp.float32)
@@ -170,7 +177,7 @@ class LCMDistiller:
         ctx, img = batch["text_emb"], batch["orig_latents"]
         online = self._consistency(student_params, x_hi, t_hi, ctx, img)
         target = jax.lax.stop_gradient(self._consistency(
-            ema_params, x_lo, jnp.maximum(t_lo, 0), ctx, img))
+            ema_params, x_lo, t_lo, ctx, img))
 
         # pseudo-Huber (LCM eq. 10): smooth near 0, L1-like in the tails
         d = online - target
@@ -202,7 +209,8 @@ def lcm_edit(unet_apply, params, ns: NoiseSchedule, cfg: DistillConfig,
     """
     st = ddim_init(ns, num_steps)
     b = image_latents.shape[0]
-    x = jax.random.normal(key, image_latents.shape, jnp.float32)
+    k_init, k_loop = jax.random.split(key)
+    x = jax.random.normal(k_init, image_latents.shape, jnp.float32)
 
     def f(x_t, t):
         unet_in = jnp.concatenate([x_t, image_latents], axis=-1)
@@ -223,5 +231,5 @@ def lcm_edit(unet_apply, params, ns: NoiseSchedule, cfg: DistillConfig,
                         add_noise(ns, x0_pred, noise, t_next), x0_pred)
         return x_t, k
 
-    x, _ = jax.lax.fori_loop(0, num_steps, body, (x, key))
+    x, _ = jax.lax.fori_loop(0, num_steps, body, (x, k_loop))
     return x

@@ -36,6 +36,12 @@ STEPS = 50
 # "faster than parity" mode, measured manually and recorded in
 # docs/perf_roofline.md.
 INT8 = "--int8" in sys.argv or os.environ.get("BENCH_INT8") == "1"
+# --lcm: the distilled few-step consistency editor (train/distill.py
+# lcm_edit) — 4 single-row UNet calls per edit vs the teacher's 50×3.
+# A different workload (not the parity metric), reported as a separate
+# fast-mode measurement.
+LCM = "--lcm" in sys.argv or os.environ.get("BENCH_LCM") == "1"
+LCM_STEPS = int(os.environ.get("BENCH_LCM_STEPS", "4"))
 # Batch sweep (same program shape, bigger leading dim): measured on the
 # bench chip 2026-08-17 — batch 8: 2533 pairs/hr; see PARITY.md for the
 # sweep table. Overridable for experiments via BENCH_BATCH.
@@ -110,6 +116,19 @@ def main():
             lat = step(unet_params, lat, img_lat, jnp.asarray(i))
         return decode(vae_params, lat)
 
+    if LCM:
+        # few-step consistency editor: ONE UNet row per step (guidance
+        # folded into the distilled weights), fused fori_loop program
+        from anyedit_tpu.train.distill import DistillConfig, lcm_edit
+        dcfg = DistillConfig(unet=cfg)
+        lcm_fn = jax.jit(lambda p, img_lat, k: lcm_edit(
+            unet.apply, p, ns, dcfg, img_lat, ctx, k,
+            num_steps=LCM_STEPS))
+
+        def edit_batch(k):
+            img_lat = encode(vae_params, px)
+            return decode(vae_params, lcm_fn(unet_params, img_lat, k))
+
     import numpy as _np
 
     def sync(x):
@@ -128,9 +147,15 @@ def main():
         best = min(best, time.perf_counter() - t0)
 
     pairs_per_hour = 3600.0 / best * n
+    if LCM:
+        desc = ("512px, %d-step LCM consistency editor (distilled, "
+                "guidance folded)%s" % (
+                    LCM_STEPS, ", W8A8 int8 UNet" if INT8 else ""))
+    else:
+        desc = ("512px, 50-step DDIM, 3-way CFG IP2P%s" % (
+            ", W8A8 int8 UNet" if INT8 else ""))
     line = {
-        "metric": "edited pairs/hour/chip (512px, 50-step DDIM, 3-way CFG "
-                  "IP2P%s)" % (", W8A8 int8 UNet" if INT8 else ""),
+        "metric": "edited pairs/hour/chip (%s)" % desc,
         "value": round(pairs_per_hour, 1),
         "unit": "pairs/hour/chip",
         "vs_baseline": round(pairs_per_hour / A100_BASELINE_PAIRS_PER_HOUR, 2),

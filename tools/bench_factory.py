@@ -90,9 +90,17 @@ def main():
 
     # grounding fallback: the DETECTOR + SAM compute runs for real, but
     # random weights rarely yield a detection — substitute a synthetic mask
-    # afterward so the edit stage (LaMa / IP2P) executes too.
+    # afterward so the edit stage (LaMa / IP2P) executes too. The fallback
+    # applies ONLY to source images (`source_ids`): edit self-verify
+    # re-grounds the EDITED image expecting the object gone
+    # (edits/local.py remove :57-62) — substituting a mask there made every
+    # remove record fail verify and skip post_filter (the round-3
+    # measurement bug). Verify calls run the real grounding, which at
+    # random weights finds nothing → verify passes → the record traverses
+    # the full edit→post_filter path.
     from anyedit_tpu.grounding.maskgen import MAX_BOXES, grounding_result
     real_ground = tb.ground
+    source_ids: set[int] = set()
 
     def _fallback(h, w):
         import jax.numpy as jnp
@@ -108,7 +116,8 @@ def main():
 
     def ground(image, phrase, mode="merge", count_k=None):
         g = real_ground(image, phrase, mode=mode, count_k=count_k)
-        if g is None or not bool(np.any(np.asarray(g.mask))):
+        if id(image) in source_ids and (
+                g is None or not bool(np.any(np.asarray(g.mask)))):
             g = _fallback(*image.shape[:2])
         return g
 
@@ -136,6 +145,11 @@ def main():
     if real_ip2p is not None:
         tb.ip2p = lambda *a, **k: real_ip2p(*a, **{**k, "steps": steps})
 
+    source_ids.add(id(img))
+
+    def load(r):
+        return img
+
     import tempfile
     out_root = tempfile.mkdtemp(prefix="bench_factory_")
     ex = FactoryExecutor(tb, ExecutorConfig(
@@ -162,7 +176,7 @@ def main():
     total_s = 0.0
     for et, group in by_type.items():
         t0 = time.perf_counter()
-        ex.run([group[0]], lambda r: img)
+        ex.run([group[0]], load)
         compile_s = time.perf_counter() - t0
         print(f"# warm-up {et}: {compile_s:.1f}s", file=sys.stderr,
               flush=True)
@@ -177,7 +191,7 @@ def main():
                 output_root=f"{out_root}_{et}_{j}", run_pre_filter=True,
                 run_post_filter=True, save_images=False, grounding_batch=0))
             t0 = time.perf_counter()
-            rep = exm.run([rec], lambda r: img)
+            rep = exm.run([rec], load)
             rdt = time.perf_counter() - t0
             dt += rdt
             for k, v in rep["counts"].items():
@@ -206,6 +220,7 @@ def main():
     for et, group in by_type.items():
         try:
             imgs = {r.key(): img.copy() for r in group}
+            source_ids.update(id(v) for v in imgs.values())
             exb = FactoryExecutor(tb, ExecutorConfig(
                 output_root=f"{out_root}_b_{et}", run_pre_filter=True,
                 run_post_filter=True, save_images=False,
