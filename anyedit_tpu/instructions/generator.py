@@ -180,20 +180,28 @@ class LlamaBackend:
     plumbing hermetically."""
 
     def __init__(self, model, params, tokenize, detokenize,
-                 max_new: int = 96, eos_id: int | None = None):
-        """tokenize(str) -> list[int]; detokenize(list[int]) -> str."""
+                 max_new: int = 96, eos_id: int | None = None,
+                 batch_size: int = 0, pad_id: int = 0):
+        """tokenize(str) -> list[int]; detokenize(list[int]) -> str.
+        batch_size > 0 enables the bucketed batched decode (left-padded
+        ragged batches via `greedy_generate_padded`; prompts grouped by
+        128-token length bucket so compiles are bounded by the bucket
+        ladder, not by distinct prompt lengths)."""
         self.model = model
         self.params = params
         self.tokenize = tokenize
         self.detokenize = detokenize
         self.max_new = max_new
         self.eos_id = eos_id
+        self.batch_size = batch_size
+        self.pad_id = pad_id
 
     def __call__(self, prompts: list[str]) -> list[str]:
         import jax.numpy as jnp
-        import numpy as np
         from anyedit_tpu.models.llama import Llama, greedy_generate
 
+        if self.batch_size > 0:
+            return self._call_batched(prompts)
         outs = []
         for prompt in prompts:   # ragged lengths: loop; same-bucket jit reuse
             ids = self.tokenize(prompt)
@@ -202,4 +210,38 @@ class LlamaBackend:
             toks = greedy_generate(self.model, self.params, emb,
                                    max_new=self.max_new, eos_id=self.eos_id)
             outs.append(self.detokenize([int(t) for t in toks[0]]))
+        return outs
+
+    def _call_batched(self, prompts: list[str]) -> list[str]:
+        import jax.numpy as jnp
+        import numpy as np
+        from anyedit_tpu.models.llama import Llama, greedy_generate_padded
+
+        tok = [self.tokenize(p) for p in prompts]
+        bucket = lambda n: max(128, -(-n // 128) * 128)
+        by_bucket: dict[int, list[int]] = {}
+        for i, ids in enumerate(tok):
+            by_bucket.setdefault(bucket(len(ids)), []).append(i)
+
+        outs: list[str] = [""] * len(prompts)
+        bs = self.batch_size
+        for blen, idxs in sorted(by_bucket.items()):
+            for c0 in range(0, len(idxs), bs):
+                chunk = idxs[c0:c0 + bs]
+                # pad the row dim to the full batch (compile once per
+                # bucket); surplus rows repeat the first prompt, dropped
+                rows = chunk + [chunk[0]] * (bs - len(chunk))
+                ids = np.full((bs, blen), self.pad_id, np.int32)
+                lens = np.zeros((bs,), np.int32)
+                for r, i in enumerate(rows):
+                    t = tok[i][-blen:]           # left-truncate to bucket
+                    ids[r, blen - len(t):] = t
+                    lens[r] = len(t)
+                emb = self.model.apply(self.params,
+                                       jnp.asarray(ids), method=Llama.embed)
+                gen = greedy_generate_padded(
+                    self.model, self.params, emb, jnp.asarray(lens),
+                    max_new=self.max_new, eos_id=self.eos_id)
+                for r, i in enumerate(chunk):
+                    outs[i] = self.detokenize([int(t) for t in gen[r]])
         return outs

@@ -281,6 +281,54 @@ class BoxHead(nn.Module):
         return nn.Dense(4, dtype=jnp.float32, name="fc3")(h.astype(jnp.float32))
 
 
+def _sine_hw(vals, half, temp):
+    """vals (L,) in radians → (L, half) interleaved sin/cos
+    (PositionEmbeddingSineHW convention, temperature `temp`)."""
+    dim_t = temp ** (2 * (jnp.arange(half, dtype=jnp.float32) // 2) / half)
+    p = vals[:, None] / dim_t
+    return jnp.stack([jnp.sin(p[:, 0::2]), jnp.cos(p[:, 1::2])],
+                     axis=-1).reshape(-1, half)
+
+
+def _level_geometry(c, spatial_shapes):
+    """Per-token (sine position WITHOUT the level embed, reference point,
+    level index) for the flattened multi-level map: pos (S, hidden),
+    ref (S, 2), lvl (S,) — shared by the monolithic and stepwise paths."""
+    pos_parts, ref_parts, lvl_parts = [], [], []
+    for li, (hh, ww) in enumerate(spatial_shapes):
+        ys = (jnp.arange(hh, dtype=jnp.float32) + 0.5) / hh
+        xs = (jnp.arange(ww, dtype=jnp.float32) + 0.5) / ww
+        gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+        ref_parts.append(jnp.stack([gx, gy], -1).reshape(-1, 2))
+        # cumsum-normalized coords: (idx+1)/extent · 2π (reference eps
+        # folded away for full masks)
+        ny = (jnp.arange(hh, dtype=jnp.float32) + 1.0) / hh * 2 * jnp.pi
+        nx = (jnp.arange(ww, dtype=jnp.float32) + 1.0) / ww * 2 * jnp.pi
+        half = c.hidden // 2
+        ey = _sine_hw(ny, half, 20.0)                   # (hh, half)
+        ex = _sine_hw(nx, half, 20.0)                   # (ww, half)
+        pe = jnp.concatenate(
+            [jnp.repeat(ey, ww, axis=0),
+             jnp.tile(ex, (hh, 1))], axis=-1)           # (hh·ww, hidden)
+        pos_parts.append(pe)
+        lvl_parts.append(jnp.full((hh * ww,), li, jnp.int32))
+    return (jnp.concatenate(pos_parts, 0), jnp.concatenate(ref_parts, 0),
+            jnp.concatenate(lvl_parts, 0))
+
+
+def _box_query_sine(c, ref_boxes):
+    """Query pos embedding input from current reference boxes: interleaved
+    sin/cos per coord, coords ordered (y, x, w, h) — reference
+    get_sine_pos_embed with exchange_xy=True. (B, nq, 2·hidden)."""
+    b, nq = ref_boxes.shape[0], ref_boxes.shape[1]
+    half = c.hidden // 2
+    dim_t = 10000.0 ** (2 * (jnp.arange(half, dtype=jnp.float32) // 2) / half)
+    coords = ref_boxes[..., jnp.asarray([1, 0, 2, 3])]
+    p = (coords[..., None] * 2 * jnp.pi) / dim_t
+    return jnp.stack([jnp.sin(p[..., 0::2]), jnp.cos(p[..., 1::2])],
+                     axis=-1).reshape(b, nq, 2 * c.hidden)
+
+
 class GroundingDINO(nn.Module):
     cfg: GDINOConfig = GDINO_SWINB
 
@@ -331,37 +379,9 @@ class GroundingDINO(nn.Module):
         # normalize=True scale 2π, INTERLEAVED sin/cos, [pos_y ‖ pos_x]).
         lvl_emb = self.param("level_embed", nn.initializers.normal(1.0),
                              (c.num_levels, c.hidden), jnp.float32)
-
-        def sine_hw(vals, half, temp):
-            """vals (L,) in radians → (L, half) interleaved sin/cos."""
-            dim_t = temp ** (2 * (jnp.arange(half, dtype=jnp.float32) // 2)
-                             / half)
-            p = vals[:, None] / dim_t
-            return jnp.stack([jnp.sin(p[:, 0::2]), jnp.cos(p[:, 1::2])],
-                             axis=-1).reshape(-1, half)
-
-        pos_parts, ref_parts, lvl_parts = [], [], []
-        for li, (hh, ww) in enumerate(spatial_shapes):
-            ys = (jnp.arange(hh, dtype=jnp.float32) + 0.5) / hh
-            xs = (jnp.arange(ww, dtype=jnp.float32) + 0.5) / ww
-            gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
-            ref_parts.append(jnp.stack([gx, gy], -1).reshape(-1, 2))
-            # cumsum-normalized coords: (idx+1)/extent · 2π (reference eps
-            # folded away for full masks)
-            ny = (jnp.arange(hh, dtype=jnp.float32) + 1.0) / hh * 2 * jnp.pi
-            nx = (jnp.arange(ww, dtype=jnp.float32) + 1.0) / ww * 2 * jnp.pi
-            half = c.hidden // 2
-            ey = sine_hw(ny, half, 20.0)                   # (hh, half)
-            ex = sine_hw(nx, half, 20.0)                   # (ww, half)
-            pe = jnp.concatenate(
-                [jnp.repeat(ey, ww, axis=0),
-                 jnp.tile(ex, (hh, 1))], axis=-1)          # (hh·ww, hidden)
-            pos_parts.append(pe + lvl_emb[li])
-            lvl_parts.append(jnp.full((hh * ww,), li, jnp.int32))
-        pos = jnp.broadcast_to(jnp.concatenate(pos_parts, 0)[None],
+        pos_base, ref_pts, tok_level = _level_geometry(c, spatial_shapes)
+        pos = jnp.broadcast_to((pos_base + lvl_emb[tok_level])[None],
                                (b, s, c.hidden)).astype(c.dtype)
-        ref_pts = jnp.concatenate(ref_parts, 0)                       # (S, 2)
-        tok_level = jnp.concatenate(lvl_parts, 0)                     # (S,)
         ref_pts = jnp.broadcast_to(ref_pts[None, :, None, :],
                                    (b, s, c.num_levels, 2))
 
@@ -407,16 +427,7 @@ class GroundingDINO(nn.Module):
         rp_fc1 = nn.Dense(c.hidden, dtype=c.dtype, name="ref_point_fc1")
         rp_fc2 = nn.Dense(c.hidden, dtype=c.dtype, name="ref_point_fc2")
         for i in range(c.dec_layers):
-            # query pos embedding from current reference boxes: interleaved
-            # sin/cos per coord, coords ordered (y, x, w, h) — reference
-            # get_sine_pos_embed with exchange_xy=True
-            half = c.hidden // 2
-            dim_t = 10000.0 ** (2 * (jnp.arange(half, dtype=jnp.float32) // 2)
-                                / half)
-            coords = ref_boxes[..., jnp.asarray([1, 0, 2, 3])]
-            p = (coords[..., None] * 2 * jnp.pi) / dim_t
-            pe = jnp.stack([jnp.sin(p[..., 0::2]), jnp.cos(p[..., 1::2])],
-                           axis=-1).reshape(b, nq, 2 * c.hidden)
+            pe = _box_query_sine(c, ref_boxes)
             q_pos = rp_fc2(nn.relu(rp_fc1(pe.astype(c.dtype))))
             tgt = DecoderLayer(c, name=f"dec_{i}")(
                 tgt, img, txt, spatial_shapes, ref_boxes, q_pos, kpm_bias)
@@ -433,3 +444,142 @@ class GroundingDINO(nn.Module):
                             txt.astype(jnp.float32))
         logits = jnp.where(text_mask[:, None, :], logits, -1e9)
         return logits, ref_boxes
+
+
+def make_gdino_stepwise(cfg: GDINOConfig):
+    """Per-stage compile units for the full detector — the production
+    900-query/800px program as ONE jit exceeds this environment's
+    tunneled remote-compile service (PARITY.md Round-3+ #3). Returns
+    `f(params, pixels, text_ids, text_mask) -> (logits, boxes)`
+    numerically identical to `GroundingDINO.__call__` but compiled as 6
+    small programs: text tower, vision tower, encoder layer (reused x6),
+    query selection, decoder layer (x6), final head — layer params ride
+    as traced jit arguments so one compile serves all layers of a kind.
+    """
+    import functools
+    from anyedit_tpu.models.layers import GroupNorm
+
+    c = cfg
+    gn_groups = min(32, c.hidden)
+
+    @jax.jit
+    def text_fwd(p, text_ids, text_mask):
+        kpm_bias = jnp.where(text_mask, 0.0, -1e9)[:, None, None, :]
+        seg_bias, position_ids = segment_text_masks(text_ids, text_mask,
+                                                    c.special_ids)
+        txt = BertEncoder(c.bert).apply({"params": p["bert"]}, text_ids,
+                                        seg_bias, position_ids=position_ids)
+        txt = nn.Dense(c.hidden, dtype=c.dtype).apply(
+            {"params": p["feat_map"]}, txt.astype(c.dtype))
+        txt_pos = sine_pos_1d(position_ids, c.hidden)
+        return txt, seg_bias, kpm_bias, txt_pos
+
+    @jax.jit
+    def vision_fwd(p, pixels):
+        feats = SwinTransformer(c.swin).apply({"params": p["swin"]}, pixels)
+        maps = [feats[k] for k in sorted(feats)]
+        proj = []
+        for i, m in enumerate(maps):
+            pr = nn.Conv(c.hidden, (1, 1), dtype=c.dtype).apply(
+                {"params": p[f"in_proj_{i}"]}, m)
+            proj.append(GroupNorm(gn_groups, dtype=c.dtype).apply(
+                {"params": p[f"in_ln_{i}"]}, pr))
+        src = maps[-1]
+        while len(proj) < c.num_levels:
+            i = len(proj)
+            src = nn.Conv(c.hidden, (3, 3), strides=(2, 2), padding="SAME",
+                          dtype=c.dtype).apply({"params": p[f"in_proj_{i}"]},
+                                               src)
+            src = GroupNorm(gn_groups, dtype=c.dtype).apply(
+                {"params": p[f"in_ln_{i}"]}, src)
+            proj.append(src)
+        return tuple(proj)
+
+    geo_cache: dict = {}
+
+    @jax.jit
+    def flatten(p, proj, pos_base, ref2d, lvl):
+        b = proj[0].shape[0]
+        img = jnp.concatenate([m.reshape(b, -1, c.hidden) for m in proj], 1)
+        s = img.shape[1]
+        pos = jnp.broadcast_to((pos_base + p["level_embed"][lvl])[None],
+                               (b, s, c.hidden)).astype(c.dtype)
+        ref_pts = jnp.broadcast_to(ref2d[None, :, None, :],
+                                   (b, s, c.num_levels, 2))
+        return img, pos, ref_pts
+
+    @functools.partial(jax.jit, static_argnames=("shapes",))
+    def enc_fwd(bp, img, txt, ref_pts, pos, seg_bias, kpm_bias, txt_pos,
+                shapes):
+        return EncoderLayer(c).apply({"params": bp}, img, txt, shapes,
+                                     ref_pts, pos, seg_bias, kpm_bias,
+                                     txt_pos)
+
+    @jax.jit
+    def qsel(p, img, txt, text_mask, ref_pts, lvl):
+        b, s, _ = img.shape
+        out_mem = LayerNorm(dtype=c.dtype).apply(
+            {"params": p["mem_ln"]},
+            nn.Dense(c.hidden, dtype=c.dtype).apply(
+                {"params": p["mem_proj"]}, img))
+        sim = jnp.einsum("bsc,btc->bst", out_mem.astype(jnp.float32),
+                         txt.astype(jnp.float32))
+        sim = jnp.where(text_mask[:, None, :], sim, -1e9)
+        score = jnp.max(sim, axis=-1)
+        nq = min(c.num_queries, s)
+        _, top_idx = jax.lax.top_k(score, nq)
+        anchors = jnp.take_along_axis(
+            jnp.broadcast_to(ref_pts[:, :, 0, :], (b, s, 2)),
+            top_idx[..., None], axis=1)
+        wh_all = 0.05 * (2.0 ** lvl.astype(jnp.float32))
+        wh_sel = jnp.take_along_axis(jnp.broadcast_to(wh_all[None], (b, s)),
+                                     top_idx, axis=1)[..., None]
+        prop_boxes = jnp.concatenate(
+            [anchors, jnp.tile(wh_sel, (1, 1, 2))], axis=-1)
+        sel_mem = jnp.take_along_axis(out_mem, top_idx[..., None], axis=1)
+        delta = BoxHead(c).apply({"params": p["enc_box_head"]}, sel_mem)
+        ref_boxes = jax.nn.sigmoid(_inverse_sigmoid(prop_boxes) + delta)
+        tgt = jnp.broadcast_to(p["tgt_embed"][None, :nq],
+                               (b, nq, c.hidden)).astype(c.dtype)
+        return tgt, ref_boxes
+
+    @functools.partial(jax.jit, static_argnames=("shapes",))
+    def dec_fwd(bp, hp, p, tgt, img, txt, ref_boxes, kpm_bias, shapes):
+        pe = _box_query_sine(c, ref_boxes)
+        h = nn.relu(nn.Dense(c.hidden, dtype=c.dtype).apply(
+            {"params": p["ref_point_fc1"]}, pe.astype(c.dtype)))
+        q_pos = nn.Dense(c.hidden, dtype=c.dtype).apply(
+            {"params": p["ref_point_fc2"]}, h)
+        tgt = DecoderLayer(c).apply({"params": bp}, tgt, img, txt, shapes,
+                                    ref_boxes, q_pos, kpm_bias)
+        delta = BoxHead(c).apply({"params": hp}, tgt)
+        ref_boxes = jax.nn.sigmoid(_inverse_sigmoid(ref_boxes) + delta)
+        return tgt, ref_boxes
+
+    @jax.jit
+    def final(p, tgt, txt, text_mask):
+        tgt = LayerNorm(dtype=c.dtype).apply({"params": p["dec_norm"]}, tgt)
+        logits = jnp.einsum("bqc,btc->bqt", tgt.astype(jnp.float32),
+                            txt.astype(jnp.float32))
+        return jnp.where(text_mask[:, None, :], logits, -1e9)
+
+    def forward(params, pixels, text_ids, text_mask):
+        p = params["params"]
+        txt, seg_bias, kpm_bias, txt_pos = text_fwd(p, text_ids, text_mask)
+        proj = vision_fwd(p, pixels)
+        shapes = tuple((int(m.shape[1]), int(m.shape[2])) for m in proj)
+        if shapes not in geo_cache:
+            geo_cache[shapes] = _level_geometry(c, shapes)
+        pos_base, ref2d, lvl = geo_cache[shapes]
+        img, pos, ref_pts = flatten(p, proj, pos_base, ref2d, lvl)
+        for i in range(c.enc_layers):
+            img, txt = enc_fwd(p[f"enc_{i}"], img, txt, ref_pts, pos,
+                               seg_bias, kpm_bias, txt_pos, shapes)
+        tgt, ref_boxes = qsel(p, img, txt, text_mask, ref_pts, lvl)
+        for i in range(c.dec_layers):
+            tgt, ref_boxes = dec_fwd(p[f"dec_{i}"], p[f"dec_box_head_{i}"],
+                                     p, tgt, img, txt, ref_boxes, kpm_bias,
+                                     shapes)
+        return final(p, tgt, txt, text_mask), ref_boxes
+
+    return forward

@@ -43,8 +43,11 @@ def default_processor(q, k, v, meta: AttnMeta, extra=None):
 
 
 def int8_processor(q, k, v, meta: AttnMeta, extra=None):
-    """W8A8 fast-mode default: int8 flash for the big self-attention
-    shapes, bf16 XLA elsewhere (attention() applies the same routing)."""
+    """W8A8 fast-mode attention. Routes to the SAME bf16 kernels as the
+    default: flash_int8 measured 1.5x SLOWER at the SD level-0 shape
+    (head_dim 40 pads to 128 lanes under the int8 tile — see
+    ops/attention.py routing note + tools/bench_quant_micro.py), so int8
+    in this mode means int8 convs/denses only."""
     del meta, extra
     return attention_op(q, k, v, int8=True)
 

@@ -178,13 +178,44 @@ class Llama(nn.Module):
         logits = self.lm_head(self.norm_f(x[:, -1]).astype(jnp.float32))
         return logits, caches
 
-    def decode_step(self, tok_emb, caches, pos):
-        """tok_emb (B,1,D); pos scalar; attends all cache positions ≤ pos."""
+    def prefill_padded(self, embeds, lengths, cache_len: int):
+        """Batched ragged prefill: embeds (B,L,D) LEFT-padded so row b's
+        real prompt occupies the last lengths[b] slots. All rows share
+        positions arange(L); RoPE scores depend only on relative offsets,
+        so the constant per-row shift vs an unpadded run is exact. Pad
+        slots are masked out of attention here and in decode_step via
+        `start = L - lengths`. Returns (logits_last (B,V), caches)."""
+        c = self.cfg
+        b, l, _ = embeds.shape
+        pos = jnp.arange(l)
+        start = (l - lengths).astype(jnp.int32)                  # (B,)
+        causal = pos[None, :] <= pos[:, None]                    # (L,L)
+        key_ok = pos[None, None, :] >= start[:, None, None]      # (B,1,L)
+        allow = causal[None] & key_ok                            # (B,L,L)
+        bias = jnp.where(allow[:, None], 0.0, -1e9).astype(jnp.float32)
+        x = embeds
+        caches = []
+        for blk in self.blocks:
+            x, (k, v) = blk(x, pos, bias)
+            pad = cache_len - l
+            k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            caches.append((k, v))
+        logits = self.lm_head(self.norm_f(x[:, -1]).astype(jnp.float32))
+        return logits, caches
+
+    def decode_step(self, tok_emb, caches, pos, start=None):
+        """tok_emb (B,1,D); pos scalar; attends all cache positions ≤ pos.
+        `start` (B,) optionally masks left-pad slots < start[b] (the
+        prefill_padded convention)."""
         c = self.cfg
         cache_len = caches[0][0].shape[2]
         positions = jnp.full((1,), pos)
         # mask: allow cache slots <= pos
         allow = jnp.arange(cache_len)[None, None, None, :] <= pos
+        if start is not None:
+            allow = allow & (jnp.arange(cache_len)[None, None, None, :]
+                             >= start[:, None, None, None])
         bias = jnp.where(allow, 0.0, -1e9).astype(jnp.float32)
         x = tok_emb
         new_caches = []
@@ -221,6 +252,45 @@ def greedy_generate(model: Llama, params, prompt_embeds: jnp.ndarray,
         lambda c, pos: step(p, c, pos), carry,
         jnp.arange(l0, l0 + max_new)))
     (_, _), toks = scan(params, (logits, caches))
+    out = np.asarray(toks).T                                     # (B, max_new)
+    if eos_id is not None:
+        for r in range(out.shape[0]):
+            hits = np.nonzero(out[r] == eos_id)[0]
+            if hits.size:
+                out[r, hits[0]:] = eos_id
+    return out
+
+
+def greedy_generate_padded(model: Llama, params, prompt_embeds: jnp.ndarray,
+                           lengths: jnp.ndarray, max_new: int,
+                           eos_id: int | None = None) -> np.ndarray:
+    """Greedy ids (B, max_new) over a LEFT-padded ragged batch (see
+    Llama.prefill_padded). One prefill + one decode-scan compile per
+    (bucket_len, batch) shape; per-row outputs are bit-identical to the
+    unpadded single-row path (tests/test_llama.py)."""
+    b, l0, _ = prompt_embeds.shape
+    cache_len = l0 + max_new
+    lengths = jnp.asarray(lengths, jnp.int32)
+
+    prefill = jax.jit(lambda p, e, ln: model.apply(
+        p, e, ln, cache_len, method=Llama.prefill_padded))
+    logits, caches = prefill(params, prompt_embeds, lengths)
+
+    def step(p, start, carry, pos):
+        logits, caches = carry
+        tok = jnp.argmax(logits, axis=-1)                       # (B,)
+        emb = model.apply(p, tok[:, None], method=Llama.embed)
+        logits, caches = model.apply(p, emb, caches, pos, start,
+                                     method=Llama.decode_step)
+        return (logits, caches), tok
+
+    # `start` rides as a traced argument (not a closure constant) so one
+    # compile serves every batch's distinct length vector
+    scan = jax.jit(lambda p, s, carry: jax.lax.scan(
+        lambda c, pos: step(p, s, c, pos), carry,
+        jnp.arange(l0, l0 + max_new)))
+    (_, _), toks = scan(params, (l0 - lengths).astype(jnp.int32),
+                        (logits, caches))
     out = np.asarray(toks).T                                     # (B, max_new)
     if eos_id is not None:
         for r in range(out.shape[0]):

@@ -352,3 +352,47 @@ def preprocess_sam(img_u8: jnp.ndarray, cfg: SAMConfig = SAM_VIT_H) -> jnp.ndarr
     from anyedit_tpu.ops.resize import resize_image
     x = (img_u8.astype(jnp.float32) - SAM_PIXEL_MEAN) / SAM_PIXEL_STD
     return resize_image(x, cfg.img_size, cfg.img_size, method="bilinear")[None]
+
+
+def make_encode_stepwise(cfg: SAMConfig):
+    """Per-block compile units for the ViT encoder (ViT-H@1024 as ONE
+    program exceeds this environment's tunneled remote-compile service —
+    PARITY.md Round-3+ #3). Returns `f(params, pixels) -> embedding`
+    numerically identical to `SAM.encode` but compiled as 4 small
+    programs: embed, window block (reused x28), global block (x4), neck —
+    block params ride as traced jit arguments, so one compile serves
+    every block of the same kind.
+    """
+    c = cfg
+
+    @jax.jit
+    def embed(p, x):
+        x = nn.Conv(c.enc_dim, (c.patch, c.patch),
+                    strides=(c.patch, c.patch), dtype=c.dtype,
+                    name="pe").apply({"params": p["patch_embed"]},
+                                     x.astype(c.dtype))
+        return x + p["pos_emb"][None].astype(c.dtype)
+
+    blk_w = jax.jit(lambda bp, x: SAMEncBlock(c, use_window=True)
+                    .apply({"params": bp}, x))
+    blk_g = jax.jit(lambda bp, x: SAMEncBlock(c, use_window=False)
+                    .apply({"params": bp}, x))
+
+    @jax.jit
+    def neck(p, x):
+        x = nn.Conv(c.out_dim, (1, 1), use_bias=False, dtype=c.dtype,
+                    name="n1").apply({"params": p["neck1"]}, x)
+        x = LayerNorm(dtype=c.dtype).apply({"params": p["neck_ln1"]}, x)
+        x = nn.Conv(c.out_dim, (3, 3), padding="SAME", use_bias=False,
+                    dtype=c.dtype, name="n2").apply({"params": p["neck2"]}, x)
+        return LayerNorm(dtype=c.dtype).apply({"params": p["neck_ln2"]}, x)
+
+    def encode(params, pixels):
+        enc = params["params"]["encoder"]
+        x = embed(enc, pixels)
+        for i in range(c.enc_depth):
+            f = blk_g if i in c.global_attn_idx else blk_w
+            x = f(enc[f"block_{i}"], x)
+        return neck(enc, x)
+
+    return encode

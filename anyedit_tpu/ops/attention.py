@@ -369,8 +369,14 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if use_flash is None and not interpret:
         if (lq == lkv and lq >= 1024 and lq % 512 == 0 and d <= 128
                 and _on_tpu()):
-            if int8:
-                return _self_attn_int8(q, k, v, scale)
+            # int8 routing measured DEAD on v5e at the SD shapes
+            # (tools/bench_quant_micro.py, 2026-08-19): flash_int8 17.6 ms
+            # vs bf16 flash 11.8 ms at (24,8,4096,40) — head_dim 40 pads
+            # to 128 lanes under the (32,128) int8 tile, so the quantize/
+            # dequant work buys nothing. W8A8 mode therefore keeps the
+            # bf16 flash kernel; flash_int8 stays available for future
+            # 128-aligned-head checkpoints (int8=True reaches it only via
+            # _self_attn_int8 callers that opt in explicitly).
             return _self_attn_flash(q, k, v, scale)
         use_flash = False
     if not use_flash:

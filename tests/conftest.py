@@ -51,19 +51,29 @@ def mesh8():
 
 # ---- test tiers ----------------------------------------------------------
 # The full suite is compile-bound on this image (≈250 tests, >10 min even
-# warm); `-m smoke` selects the load-bearing integration subset + cheap unit
-# cores so the driver loop can always finish a meaningful run.
+# warm); `-m smoke` selects a genuinely-fast load-bearing subset (measured
+# warm-cache wall-clock in README) so the CI loop always finishes. The
+# heavyweight integration streams (test_all_edit_types ~8 min,
+# test_train_cli ~3.5 min, the quant/eval end-to-ends) run in the full
+# tier; test_smoke_pipeline covers the same wiring with 4 representative
+# types.
 _SMOKE_MODULES = {
-    "test_all_edit_types",      # every pipeline streams end-to-end
+    "test_smoke_pipeline",      # representative pipelines end-to-end
     "test_executor",            # ledger / containment / resume
     "test_parallel_edit",       # dp-sharded editor on the virtual mesh
-    "test_train_cli",           # train e2e + weights-dir + grids
     "test_core", "test_schedulers", "test_filters", "test_instructions",
     "test_edits", "test_zoo", "test_convert_verify",
+}
+
+# individually-slow tests demoted out of an otherwise-smoke module
+_SMOKE_EXCLUDE = {
+    ("test_zoo", "test_ip2p_stepwise_matches_fused"),   # ~64 s warm
 }
 
 
 def pytest_collection_modifyitems(config, items):
     for item in items:
-        if item.module.__name__ in _SMOKE_MODULES:
+        mod = item.module.__name__
+        if mod in _SMOKE_MODULES and \
+                (mod, item.name.split("[")[0]) not in _SMOKE_EXCLUDE:
             item.add_marker(pytest.mark.smoke)

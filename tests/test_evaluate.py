@@ -12,7 +12,6 @@ import numpy as np
 import pytest
 from PIL import Image
 
-pytestmark = pytest.mark.smoke
 
 
 def _make_run(tmp_path):

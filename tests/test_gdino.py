@@ -116,3 +116,26 @@ def test_segment_text_masks():
     # per-segment positions: word,word,dot → 0,1,2; restart after dot
     np.testing.assert_array_equal(np.asarray(pos[0, :8]),
                                   [0, 0, 1, 2, 0, 1, 2, 0])
+
+
+def test_gdino_stepwise_matches_monolithic():
+    """Per-stage compile units (make_gdino_stepwise) == the monolithic
+    apply — the production 900q/800px path for the tunneled compiler."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from anyedit_tpu.models.gdino import (
+        GroundingDINO, TINY_GDINO, make_gdino_stepwise)
+
+    m = GroundingDINO(TINY_GDINO)
+    px = jax.random.normal(jax.random.key(0), (1, 64, 64, 3), jnp.float32)
+    ids = jnp.asarray([[101, 7592, 1012, 2088, 1012, 102] + [0] * 10])
+    mask = jnp.asarray([[True] * 6 + [False] * 10])
+    params = m.init(jax.random.key(1), px, ids, mask)
+    ref_l, ref_b = m.apply(params, px, ids, mask)
+    got_l, got_b = make_gdino_stepwise(TINY_GDINO)(params, px, ids, mask)
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(ref_b),
+                               atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_l, np.float32),
+                               np.asarray(ref_l, np.float32),
+                               atol=2e-1, rtol=2e-2)

@@ -83,3 +83,47 @@ def test_llama_backend_plumbs_into_generator():
     llm = LlamaBackend(m, params, tok, detok, max_new=3)
     outs = llm(["caption: a cat", "caption: a dog"])
     assert len(outs) == 2 and all(isinstance(o, str) and o for o in outs)
+
+
+def test_padded_batched_matches_per_prompt():
+    """Left-padded ragged batch (prefill_padded + masked decode + shared
+    RoPE positions) produces the SAME greedy tokens as the unpadded
+    per-prompt path — RoPE scores depend only on relative offsets, so the
+    per-row position shift is exact."""
+    from anyedit_tpu.models.llama import greedy_generate_padded
+
+    m = Llama(F32)
+    prompts = [[5, 6, 7], [9, 3, 27, 81, 11, 2, 13], [1], [40, 41, 42, 43]]
+    params = m.init(jax.random.key(2), jnp.asarray([prompts[0]]))
+
+    ref = []
+    for ids in prompts:
+        emb = m.apply(params, jnp.asarray([ids]), method=Llama.embed)
+        ref.append(greedy_generate(m, params, emb, max_new=5)[0])
+
+    blen = 8
+    mat = np.zeros((len(prompts), blen), np.int32)
+    lens = np.zeros((len(prompts),), np.int32)
+    for r, ids in enumerate(prompts):
+        mat[r, blen - len(ids):] = ids
+        lens[r] = len(ids)
+    emb = m.apply(params, jnp.asarray(mat), method=Llama.embed)
+    out = greedy_generate_padded(m, params, emb, jnp.asarray(lens), max_new=5)
+    for r in range(len(prompts)):
+        np.testing.assert_array_equal(out[r], ref[r])
+
+
+def test_llama_backend_batched_matches_loop():
+    """LlamaBackend(batch_size=N) returns the same strings as the
+    per-prompt path, in the original order, across bucket boundaries."""
+    from anyedit_tpu.instructions.generator import LlamaBackend
+
+    m = Llama(F32)
+    params = m.init(jax.random.key(3), jnp.asarray([[1, 2, 3]]))
+    tokenize = lambda s: [1 + (ord(c) % 250) for c in s]
+    detok = lambda ids: " ".join(str(i) for i in ids)
+    prompts = ["short", "a much longer prompt " * 40, "mid size prompt here",
+               "x", "another medium-length prompt for the second row"]
+    seq = LlamaBackend(m, params, tokenize, detok, max_new=4)
+    bat = LlamaBackend(m, params, tokenize, detok, max_new=4, batch_size=2)
+    assert bat(prompts) == seq(prompts)

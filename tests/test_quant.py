@@ -21,7 +21,6 @@ from anyedit_tpu.ops.quant import (
     quantize_params,
 )
 
-pytestmark = pytest.mark.smoke
 
 
 def test_quantize_int8_roundtrip():

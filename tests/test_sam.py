@@ -73,3 +73,24 @@ def test_vit_h_param_count():
     shapes = jax.eval_shape(model.init, jax.random.key(0), px)
     n = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(shapes))
     assert 0.55e9 < n < 0.75e9, n  # ViT-H encoder ≈ 0.63B
+
+
+def test_encode_stepwise_matches_monolithic():
+    """Per-block compile units (make_encode_stepwise) == SAM.encode —
+    the production ViT-H@1024 path the tunneled compile service needs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from anyedit_tpu.models.sam import SAM, TINY_SAM, make_encode_stepwise
+
+    m = SAM(TINY_SAM)
+    px = jax.random.normal(jax.random.key(0),
+                           (1, TINY_SAM.img_size, TINY_SAM.img_size, 3),
+                           jnp.float32)
+    boxes = jnp.asarray([[[4.0, 4.0, 40.0, 40.0]]])
+    params = m.init(jax.random.key(1), px, boxes)
+    ref = m.apply(params, px, method=SAM.encode)
+    got = make_encode_stepwise(TINY_SAM)(params, px)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=2e-2, rtol=2e-2)

@@ -1,14 +1,17 @@
 """Factory stage benchmark — per-model throughput on the local chip.
 
-Measures the grounding front door (GroundingDINO SwinB @ 384px + SAM ViT-H
-@ 1024px) and the LaMa inpainter with fenced, data-dependent chained timing
-(the only airtight method on tunneled backends — see bench.py). Random
-weights; throughput is weight-independent.
+Measures the grounding front door at PRODUCTION shapes — GroundingDINO
+SwinB 900 queries @ 800px (reference tool.py:91-102 RandomResize(800))
+and SAM ViT-H @ 1024 (predictor.py:34,169) — plus the LaMa inpainter,
+with fenced, data-dependent chained timing (the only airtight method on
+tunneled backends — see bench.py). Random weights; throughput is
+weight-independent.
 
-Stages run SAM/LaMa first and print incrementally. The full 900-query
-GroundingDINO program exceeds this environment's tunneled remote-compile
-service (the compile hangs) — it only runs with `--all` and is expected
-to work on a directly-attached TPU host.
+The monolithic 900-query GDINO / ViT-H@1024 programs exceed this
+environment's tunneled remote-compile service, so both run through their
+per-stage compile units (`make_gdino_stepwise` / `make_encode_stepwise`)
+— numerically identical (tests/test_gdino.py, tests/test_sam.py), 6 and
+4 small programs respectively, one compile per layer KIND.
 
 Usage: python tools/bench_stages.py [batch] [--all]
 """
@@ -21,6 +24,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_bench_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def sync(x):
@@ -42,52 +50,63 @@ def stage(rows, name, fn):
         rows.append(fn())
     except Exception as e:
         rows.append((name, 0, float("nan"), float("nan")))
-        print(f"[{name}] SKIPPED: {type(e).__name__}", file=sys.stderr)
-    if rows:
-        n, bb, ms, ips = rows[-1]
-        print(f"{n:24} {bb:>5} {ms:>9.1f} {ips:>9.1f}", flush=True)
+        print(f"[{name}] SKIPPED: {type(e).__name__}: {e}", file=sys.stderr)
+    n, bb, ms, ips = rows[-1]
+    print(f"{n:28} {bb:>5} {ms:>9.1f} {ips:>9.2f}", flush=True)
 
 
 def main():
-    b = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    b = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 4
     rows = []
 
-    # GroundingDINO SwinB @ 384 (the canonical grounding bucket)
-    def run_gdino():
-        from anyedit_tpu.models.gdino import GroundingDINO, GDINO_SWINB
+    # GroundingDINO SwinB @ PRODUCTION 800px / 900 queries, stepwise units
+    def run_gdino_800():
+        from anyedit_tpu.models.gdino import (
+            GroundingDINO, GDINO_SWINB, make_gdino_stepwise)
         cfg = GDINO_SWINB
         m = GroundingDINO(cfg)
-        px = jax.random.normal(jax.random.key(0), (b, 384, 384, 3),
+        px = jax.random.normal(jax.random.key(0), (1, 800, 800, 3),
                                jnp.float32)
-        ids = jnp.zeros((b, cfg.max_text_len), jnp.int32)
-        mask = jnp.ones((b, cfg.max_text_len), bool)
-        params = jax.jit(m.init)(jax.random.key(0), px, ids, mask)
-        fwd = jax.jit(lambda x: m.apply(params, x, ids, mask)[1])
+        ids = jnp.zeros((1, cfg.max_text_len), jnp.int32)
+        ids = ids.at[0, 0].set(101).at[0, 1].set(2054).at[0, 2].set(1012)
+        mask = jnp.zeros((1, cfg.max_text_len), bool).at[0, :4].set(True)
+        params = jax.eval_shape(lambda: m.init(jax.random.key(0), px, ids,
+                                               mask))
+        rng = np.random.default_rng(0)
+        params = jax.tree.map(
+            lambda s: jnp.asarray(rng.normal(0, 0.02, s.shape)
+                                  .astype(np.float32), dtype=s.dtype), params)
+        fwd = make_gdino_stepwise(cfg)
 
         def g(x):
-            boxes = fwd(x)
-            return x + jnp.sum(boxes[0, 0]) * 1e-12
+            logits, boxes = fwd(params, x, ids, mask)
+            return x + jnp.sum(boxes[0, 0]).astype(x.dtype) * 1e-12
 
-        ms = chain(g, px)
-        return ("gdino_swinb_384", b, ms, b / ms * 1000)
+        ms = chain(g, px, n_it=5)
+        return ("gdino_swinb_900q_800px", 1, ms, 1000 / ms)
 
-    # SAM ViT-H encoder @ 1024 (once per image) + box decode
+    # SAM ViT-H encoder @ 1024 (once per image) via stepwise units
     def run_sam():
-        from anyedit_tpu.models.sam import SAM, SAM_VIT_H
+        from anyedit_tpu.models.sam import SAM, SAM_VIT_H, make_encode_stepwise
         sm = SAM(SAM_VIT_H)
         spx = jax.random.normal(jax.random.key(1), (1, 1024, 1024, 3),
                                 jnp.float32)
         boxes = jnp.asarray([[[100.0, 100.0, 600.0, 600.0]]])
-        sp = jax.jit(sm.init)(jax.random.key(0), spx, boxes)
-        enc = jax.jit(lambda x: sm.apply(sp, x, method=SAM.encode))
+        shapes = jax.eval_shape(lambda: sm.init(jax.random.key(0), spx,
+                                                boxes))
+        rng = np.random.default_rng(1)
+        sp = jax.tree.map(
+            lambda s: jnp.asarray(rng.normal(0, 0.02, s.shape)
+                                  .astype(np.float32), dtype=s.dtype), shapes)
+        enc = make_encode_stepwise(SAM_VIT_H)
 
         def gs(x):
-            e = enc(x)
+            e = enc(sp, x)
             return x + jnp.mean(e).astype(x.dtype) * 1e-12
 
         ms = chain(gs, spx, n_it=5)
         rows.append(("sam_vith_encode_1024", 1, ms, 1000 / ms))
-        emb = sm.apply(sp, spx, method=SAM.encode)
+        emb = enc(sp, spx)
         dec = jax.jit(lambda e: sm.apply(sp, e, boxes,
                                          method=SAM.decode_boxes)[0])
 
@@ -115,14 +134,12 @@ def main():
         ms = chain(gl, lpx, n_it=5)
         return ("lama_512", b, ms, b / ms * 1000)
 
-    print(f"{'stage':24} {'batch':>5} {'ms/call':>9} {'items/s':>9}",
+    print(f"{'stage':28} {'batch':>5} {'ms/call':>9} {'items/s':>9}",
           flush=True)
     stage(rows, "lama_512", run_lama)
     if "--all" in sys.argv:
-        # the ViT-H @1024 and 900-query GDINO programs exceed the tunneled
-        # remote-compile service in this environment; run on a direct host
         stage(rows, "sam_vith_1024", run_sam)
-        stage(rows, "gdino_swinb_384", run_gdino)
+        stage(rows, "gdino_900q_800px", run_gdino_800)
 
 
 if __name__ == "__main__":
