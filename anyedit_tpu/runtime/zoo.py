@@ -111,6 +111,12 @@ class ZooConfig:
     # SDXL refine). Attention-surgery paths (MasaCtrl/P2P/regional) and
     # AnyDoor ControlNet stay bf16 — their processors read raw attention.
     quant_diffusion: bool = False
+    # compile GroundingDINO/SAM as per-layer-kind units instead of one
+    # monolithic program (models/gdino.py make_gdino_stepwise,
+    # models/sam.py make_encode_stepwise; numerically identical). Required
+    # for the PRODUCTION shapes (900q@800px, ViT-H@1024) on hosts whose
+    # compile service cannot take the monolithic program.
+    stepwise_grounding: bool = False
 
 
 def load_params(model, example_args: tuple, weight_file: Optional[Path],
@@ -206,13 +212,21 @@ class ModelZoo:
             ids = jnp.zeros((1, tlen), jnp.int32)
             msk = jnp.zeros((1, tlen), bool)
             gd_params = load_params(gd, (px, ids, msk), self._wf("gdino"), self.seed)
-            gd_fn = jit_apply(gd, gd_params)
 
             sam = SAM(c.sam)
             spx = jnp.zeros((1, c.sam.img_size, c.sam.img_size, 3), jnp.float32)
             sboxes = jnp.zeros((1, MAX_BOXES, 4), jnp.float32)
             sam_params = load_params(sam, (spx, sboxes), self._wf("sam"), self.seed)
-            sam_enc = jit_apply(sam, sam_params, method=SAM.encode)
+            if c.stepwise_grounding:
+                from anyedit_tpu.models.gdino import make_gdino_stepwise
+                from anyedit_tpu.models.sam import make_encode_stepwise
+                _gd_sw = make_gdino_stepwise(c.gdino)
+                gd_fn = lambda a, b, m: _gd_sw(gd_params, a, b, m)
+                _sam_sw = make_encode_stepwise(c.sam)
+                sam_enc = lambda x: _sam_sw(sam_params, x)
+            else:
+                gd_fn = jit_apply(gd, gd_params)
+                sam_enc = jit_apply(sam, sam_params, method=SAM.encode)
             sam_dec = jit_apply(sam, sam_params, method=SAM.decode_boxes)
 
             def ground(image_u8: np.ndarray, phrase: str, mode: str = "merge",

@@ -178,6 +178,16 @@ def main():
             }
         except (OSError, ValueError):
             pass
+    # measured fast modes + production grounding stage times ride along
+    # (docs/fast_modes.json, measured on this chip — see perf_roofline.md)
+    fm = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "docs", "fast_modes.json")
+    if os.path.exists(fm):
+        try:
+            with open(fm) as f:
+                line["fast_modes"] = json.load(f)
+        except (OSError, ValueError):
+            pass
     print(json.dumps(line))
 
 

@@ -106,3 +106,21 @@ def test_ip2p_stepwise_matches_fused():
                      edit(img, "make it blue", mask, steps=3, seed=1)))
     np.testing.assert_array_equal(outs[0][0], outs[1][0])
     np.testing.assert_array_equal(outs[0][1], outs[1][1])
+
+
+def test_grounder_stepwise_matches_monolithic(zoo):
+    """stepwise_grounding=True builds the same grounder semantics from
+    per-layer compile units (the production-shape path)."""
+    import dataclasses as dc
+
+    img = np.zeros((48, 48, 3), np.uint8)
+    img[12:36, 12:36] = (250, 30, 30)
+    g0 = zoo.toolbox(slots=[]).ground(img, "red square")
+    z2 = ModelZoo(dc.replace(zoo.cfg, stepwise_grounding=True), seed=zoo.seed)
+    g1 = z2.toolbox(slots=[]).ground(img, "red square")
+    assert (g0 is None) == (g1 is None)
+    if g0 is not None:
+        np.testing.assert_allclose(np.asarray(g1.boxes), np.asarray(g0.boxes),
+                                   atol=1e-3, rtol=1e-3)
+        same = np.mean((np.asarray(g1.mask) > 0) == (np.asarray(g0.mask) > 0))
+        assert same > 0.99, same

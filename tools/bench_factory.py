@@ -68,6 +68,21 @@ def main():
         cfg = dataclasses.replace(tiny_zoo_config(),
                                   fused_diffusion_loop=False)
         size = cfg.canvas.edit_size
+    elif "--prod" in sys.argv:
+        # PRODUCTION grounding shapes (tool.py:91-102 / predictor.py:34):
+        # GDINO SwinB 900q@800px + SAM ViT-H@1024, via the per-layer-kind
+        # stepwise compile units (the monolithic programs exceed the
+        # tunneled compile service)
+        from anyedit_tpu.models.sam import SAM_VIT_H
+        cfg = ZooConfig(
+            canvas=CanvasConfig(edit_size=512, grounding_size=800,
+                                sam_size=1024),
+            gdino=GDINO_SWINB,
+            sam=SAM_VIT_H,
+            box_threshold=0.0,
+            stepwise_grounding=True,
+            fused_diffusion_loop=False)
+        size = 512
     else:
         cfg = ZooConfig(
             canvas=CanvasConfig(edit_size=512, grounding_size=384,

@@ -105,6 +105,8 @@ def main():
             return x + jnp.mean(e).astype(x.dtype) * 1e-12
 
         ms = chain(gs, spx, n_it=5)
+        print(f"{'sam_vith_encode_1024':28} {1:>5} {ms:>9.1f} "
+              f"{1000 / ms:>9.2f}", flush=True)
         rows.append(("sam_vith_encode_1024", 1, ms, 1000 / ms))
         emb = enc(sp, spx)
         dec = jax.jit(lambda e: sm.apply(sp, e, boxes,
