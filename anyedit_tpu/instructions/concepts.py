@@ -175,3 +175,56 @@ def merge_concept_pools(*pools: dict) -> dict:
             if not dst["c"] and rec.get("c"):
                 dst["c"] = rec["c"]
     return out
+
+
+# ---- offline acquisition (replaces concept/scraper/) ---------------------
+
+def harvest_concepts(caption_files: Sequence[str],
+                     min_count: int = 3,
+                     max_concepts: int = 5000) -> list[str]:
+    """Acquire a raw concept candidate list from LOCAL caption corpora —
+    the offline acquisition layer in place of the reference's
+    `concept/scraper/scraper.py` (which is a selenium page-visitor over a
+    pre-existing concept_pool.json, not a data collector; this path is a
+    strict functional superset: corpus → candidates → `build_concept_pool`
+    curation). Accepts .txt (one caption per line), .json (list of
+    strings or of dicts with a 'caption'/'text' field), or .jsonl.
+
+    Candidates are lemmatized nouns ranked by corpus frequency;
+    `min_count` drops hapax noise, `max_concepts` caps the pool.
+    """
+    import json as _json
+    from collections import Counter
+    from pathlib import Path
+
+    def _captions(path: Path):
+        text = path.read_text(errors="replace")
+        if path.suffix == ".jsonl":
+            for line in text.splitlines():
+                line = line.strip()
+                if not line:
+                    continue
+                row = _json.loads(line)
+                yield row if isinstance(row, str) else \
+                    row.get("caption") or row.get("text") or \
+                    row.get("input") or ""
+        elif path.suffix == ".json":
+            data = _json.loads(text)
+            for row in data if isinstance(data, list) else data.values():
+                yield row if isinstance(row, str) else \
+                    row.get("caption") or row.get("text") or ""
+        else:
+            yield from text.splitlines()
+
+    from anyedit_tpu.grounding.tags import generate_tags
+    counts: Counter = Counter()
+    for f in caption_files:
+        for cap in _captions(Path(f)):
+            if not cap:
+                continue
+            for noun in generate_tags(cap)["nouns"]:
+                w = _lemmatize(noun.lower())
+                if len(w) >= 3:
+                    counts[w] += 1
+    ranked = [w for w, n in counts.most_common() if n >= min_count]
+    return ranked[:max_concepts]

@@ -223,3 +223,24 @@ def test_composition_record_caption_to_image():
     out = get_pipeline("composition")(tb, rec, img,
                                       np.random.default_rng(0))
     assert out.success and out.edited.shape == (size, size, 3)
+
+
+def test_harvest_concepts_from_local_corpus(tmp_path):
+    """Offline acquisition layer: captions → ranked lemmatized nouns →
+    composable with build_concept_pool (replaces the reference scraper)."""
+    from anyedit_tpu.instructions.concepts import (
+        build_concept_pool, harvest_concepts)
+
+    caps = tmp_path / "caps.txt"
+    caps.write_text("\n".join(
+        ["a dog chases a ball in the park"] * 4
+        + ["two dogs sleep near a fence"] * 3
+        + ["a zyxq glorble once"]))          # below min_count → dropped
+    jl = tmp_path / "more.jsonl"
+    jl.write_text('{"caption": "a dog under a tree"}\n'
+                  '{"caption": "a ball and a tree"}\n')
+    got = harvest_concepts([str(caps), str(jl)], min_count=3)
+    assert got[0] == "dog"            # most frequent first
+    assert "ball" in got and "zyxq" not in got
+    pool = build_concept_pool(got)
+    assert "dog" in pool

@@ -45,7 +45,7 @@ if "--tiny" in sys.argv:
 # the tunneled remote-compile is the dominant cost of a cold run; persist
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(os.path.dirname(
-                      os.path.abspath(__file__))), ".scratch", "jax_cache"))
+                      os.path.abspath(__file__))), ".jax_bench_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 

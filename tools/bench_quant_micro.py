@@ -77,6 +77,18 @@ def main():
         bench_module(f"{tag} int8",
                      QuantConv(cout, (3, 3)), x, flops)
 
+    # lane-pad experiment (docs/perf_roofline.md "conv-side scheduling"
+    # lever): does padding level-0's 320 channels to the 384 lane multiple
+    # win despite +44% FLOPs? If conv384's WALL TIME beats conv320's, a
+    # converter-time zero-pad of the level-0 convs pays outright.
+    for tag, s, cin, cout in [("conv3x3 L0 PAD 64x64x384", 64, 384, 384),
+                              ("conv3x3 L0 PAD 64x64x512", 64, 512, 512)]:
+        x = jax.random.normal(jax.random.key(4), (B, s, s, cin), jnp.bfloat16)
+        flops = 2 * B * s * s * 9 * cin * cout
+        bench_module(f"{tag} bf16",
+                     nn.Conv(cout, (3, 3), padding="SAME", dtype=jnp.bfloat16),
+                     x, flops)
+
     for tag, l, cin, cout in [("dense L0 4096x320->2560", 4096, 320, 2560),
                               ("dense L2 256x1280->10240", 256, 1280, 10240)]:
         x = jax.random.normal(jax.random.key(2), (B, l, cin), jnp.bfloat16)
