@@ -133,7 +133,22 @@ def load_params(model, example_args: tuple, weight_file: Optional[Path],
             f"required weights missing: {weight_file} "
             f"(for {type(model).__name__}); convert the checkpoint first "
             "(`anyedit_tpu convert`) or drop --require-weights")
-    return jax.jit(model.init)(jax.random.key(seed), *example_args)
+    # seeded random init runs on the HOST CPU backend, then transfers:
+    # the monolithic init program for the big towers (SAM ViT-H, 900q
+    # GDINO) exceeds tunneled remote-compile services (the same hang the
+    # stepwise forward units avoid), and threefry RNG is platform-
+    # deterministic, so the values are bit-identical to an on-device init.
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        # pin the example args to CPU too — committed device placement on
+        # an input would otherwise override default_device and pull the
+        # init back onto the accelerator
+        args = jax.device_put(example_args, cpu)
+        params = jax.jit(model.init)(jax.random.key(seed), *args)
+    dev = jax.devices()[0]
+    if dev.platform != "cpu":
+        params = jax.device_put(params, dev)
+    return params
 
 
 def select_tokenizers(weights_dir: Optional[Path], clip_vocab_size: int,

@@ -200,17 +200,21 @@ class LCMDistiller:
 
 def lcm_edit(unet_apply, params, ns: NoiseSchedule, cfg: DistillConfig,
              image_latents: jnp.ndarray, cond_text: jnp.ndarray,
-             key: jax.Array, num_steps: int = 4) -> jnp.ndarray:
+             key: jax.Array, num_steps: int = 4,
+             x_init: jnp.ndarray | None = None) -> jnp.ndarray:
     """Few-step consistency sampling for the distilled editor.
 
     One UNet pass per step (guidance is folded into the weights): predict
     x0 via the consistency function, then re-noise to the next grid level
     (LCM alg. 3 multistep sampling). Returns edited latents (B,h,w,4).
+    `x_init` pins the starting latent (seed-parity evals against a
+    teacher trajectory from the same x_T); default draws from `key`.
     """
     st = ddim_init(ns, num_steps)
     b = image_latents.shape[0]
     k_init, k_loop = jax.random.split(key)
-    x = jax.random.normal(k_init, image_latents.shape, jnp.float32)
+    x = (jax.random.normal(k_init, image_latents.shape, jnp.float32)
+         if x_init is None else x_init.astype(jnp.float32))
 
     def f(x_t, t):
         unet_in = jnp.concatenate([x_t, image_latents], axis=-1)
