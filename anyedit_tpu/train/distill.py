@@ -105,7 +105,13 @@ class LCMDistiller:
             raise ValueError(
                 "LCMDistiller requires an epsilon-prediction schedule, got "
                 f"{self.ns.prediction_type!r}")
-        self.st = ddim_init(self.ns, cfg.num_ddim_steps)
+        # trailing spacing: the grid starts at t = T-1 (999), matching the
+        # consistency SAMPLER below — the leading grid's top point for a
+        # 50-step schedule is 981, and for few-step sampling grids it
+        # collapses catastrophically (4-step leading starts at t=751,
+        # 1-step at t=1 where f(x,1) ≈ x by the boundary condition;
+        # diffusers' LCMScheduler uses trailing for the same reason).
+        self.st = ddim_init(self.ns, cfg.num_ddim_steps, style="trailing")
         self.unet = UNet2DCondition(cfg.unet)
         self.tx = optax.chain(optax.clip_by_global_norm(1.0),
                               optax.adamw(cfg.learning_rate))
@@ -210,7 +216,9 @@ def lcm_edit(unet_apply, params, ns: NoiseSchedule, cfg: DistillConfig,
     `x_init` pins the starting latent (seed-parity evals against a
     teacher trajectory from the same x_T); default draws from `key`.
     """
-    st = ddim_init(ns, num_steps)
+    # trailing grid: pure-noise init must enter at t = T-1 (999), not the
+    # leading grid's 1000/num_steps·0+1 (t=751 for 4 steps, t=1 for 1)
+    st = ddim_init(ns, num_steps, style="trailing")
     b = image_latents.shape[0]
     k_init, k_loop = jax.random.split(key)
     x = (jax.random.normal(k_init, image_latents.shape, jnp.float32)

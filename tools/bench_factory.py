@@ -4,15 +4,14 @@ Streams N synthetic 512px records through the REAL FactoryExecutor (all
 filter scorers computed) and reports the per-stage breakdown plus overall
 records/hour/chip — the SURVEY §3.1 hot path measured end-to-end.
 
-Config honesty: the tunneled remote-compile service in this environment
-cannot compile the production 900-query GroundingDINO@800px or ViT-H@1024
-programs (PARITY.md), so grounding runs a REDUCED bucket and the report
-carries the FLOP scaling factors to the production configs:
-  * GDINO SwinB @384px, 300 queries, text_len 64 (vs 800px/900q/256):
-    backbone+encoder FLOPs scale ~(800/384)² ≈ 4.3×, decoder ~3×,
-  * SAM ViT-B @512px (vs ViT-H @1024): encoder FLOPs ratio ≈
-    (1280/768)²·(32/12)·(1024/512)² ≈ 29.6× — SAM-H@1024 throughput is the
-    dominant unknown and must be measured on a directly-attached host.
+Modes:
+  * `--prod` (the round-4 default for reporting): PRODUCTION grounding
+    shapes — GroundingDINO SwinB 900q@800px + SAM ViT-H@1024 — via the
+    per-layer-kind stepwise compile units (ZooConfig.stepwise_grounding;
+    the monolithic programs exceed this environment's tunneled compiler).
+  * default: reduced buckets (GDINO 300q@384, SAM ViT-B@512) for quick
+    runs; the docstring of record for their FLOP scaling is git history.
+  * `--tiny`: hermetic CPU logic validation.
 Edits use the per-step IP2P compile units (cfg.fused_diffusion_loop=False)
 at the production 512px/50-step shape — identical math to the fused loop
 (tests/test_zoo.py::test_ip2p_stepwise_matches_fused).
@@ -54,6 +53,12 @@ def main():
     n = int(pos[0]) if pos else 8
     steps = int(pos[1]) if len(pos) > 1 else 50
 
+    # stall forensics armed BEFORE any model build: if the tunnel or a
+    # host-side init wedges, the log shows WHERE.
+    import faulthandler
+    faulthandler.dump_traceback_later(600, repeat=True, exit=False,
+                                      file=sys.stderr)
+
     import dataclasses
     import anyedit_tpu.runtime.executor as executor_mod
     from anyedit_tpu.core.config import CanvasConfig
@@ -79,7 +84,13 @@ def main():
                                 sam_size=1024),
             gdino=GDINO_SWINB,
             sam=SAM_VIT_H,
-            box_threshold=0.0,
+            # the REFERENCE threshold (tool.py box_threshold): the source-
+            # image fallback supplies the mask when random weights detect
+            # nothing, and the remove-verify re-ground then realistically
+            # reports the object gone → records traverse edit→post_filter.
+            # threshold 0.0 made verify accept random detections and fail
+            # every remove record before post_filter.
+            box_threshold=0.25,
             stepwise_grounding=True,
             fused_diffusion_loop=False)
         size = 512
@@ -180,12 +191,6 @@ def main():
     for r in records:
         by_type.setdefault(r.edit_type, []).append(r)
 
-    # stall forensics: if the tunnel wedges mid-record, dump every thread's
-    # stack to stderr periodically so the log shows WHERE it died.
-    import faulthandler
-    faulthandler.dump_traceback_later(600, repeat=True, exit=False,
-                                      file=sys.stderr)
-
     results = {}
     total_records = 0
     total_s = 0.0
@@ -239,12 +244,12 @@ def main():
             exb = FactoryExecutor(tb, ExecutorConfig(
                 output_root=f"{out_root}_b_{et}", run_pre_filter=True,
                 run_post_filter=True, save_images=False,
-                grounding_batch=len(group)))
+                grounding_batch=min(8, len(group))))
             exb.run(group, lambda r: imgs[r.key()])   # warm batch programs
             exb2 = FactoryExecutor(tb, ExecutorConfig(
                 output_root=f"{out_root}_b2_{et}", run_pre_filter=True,
                 run_post_filter=True, save_images=False,
-                grounding_batch=len(group)))
+                grounding_batch=min(8, len(group))))
             t0 = time.perf_counter()
             rep = exb2.run(group, lambda r: imgs[r.key()])
             bdt = time.perf_counter() - t0

@@ -64,6 +64,11 @@ def main():
     ts = jnp.zeros((3 * b,), jnp.int32)
     ctx3 = jnp.zeros((3 * b, 5, cd), jnp.float32)
     teacher = jax.jit(unet.init)(key, x0s, ts, ctx3)
+    # the teacher must be TRAINED before distilling: a random UNet's ODE
+    # flow is chaotic (no smooth endpoint map for a consistency function
+    # to learn — measured: 0% improvement on a random teacher); a brief
+    # eps-MSE fit on the synthetic distribution gives the smooth ODE the
+    # real SD teacher has. This mirrors the real protocol exactly.
 
     # structured data: low-rank latents so the ODE has learnable signal
     basis = jax.random.normal(jax.random.fold_in(key, 1), (4, hw, hw, 4))
@@ -102,6 +107,37 @@ def main():
                    + cfg.image_guidance_scale * (ei - eu))
             lat = ddim_step(ns, st, i, eps, lat)
         return lat
+
+    # ---- stage 0: train the teacher (standard eps-prediction MSE with
+    # the IP2P input layout: [x_t | orig_latents] + text context) --------
+    import optax
+    from anyedit_tpu.schedulers import add_noise as _add_noise
+
+    t_steps = int(os.environ.get("TEACHER_STEPS", "600"))
+    ttx = optax.adam(2e-3)
+    topt = ttx.init(teacher)
+
+    def teacher_loss(p, bt, k):
+        kt, kn = jax.random.split(k)
+        t = jax.random.randint(kt, (b,), 0, ns.alphas_cumprod.shape[0])
+        noise = jax.random.normal(kn, bt["edited_latents"].shape)
+        x_t = _add_noise(ns, bt["edited_latents"], noise, t)
+        eps = unet.apply(p, jnp.concatenate([x_t, bt["orig_latents"]], -1),
+                         t, bt["text_emb"]).astype(jnp.float32)
+        return jnp.mean((eps - noise) ** 2)
+
+    @jax.jit
+    def teacher_step(p, o, bt, k):
+        l, g = jax.value_and_grad(teacher_loss)(p, bt, k)
+        up, o = ttx.update(g, o)
+        return optax.apply_updates(p, up), o, l
+
+    for i in range(t_steps):
+        k = jax.random.fold_in(key, 50_000 + i)
+        teacher, topt, tl = teacher_step(teacher, topt, make_batch(k), k)
+        if i % 200 == 0:
+            print(f"# teacher step {i}: mse {float(tl):.4f}",
+                  file=sys.stderr, flush=True)
 
     kb = jax.random.fold_in(key, 3)
     batch = make_batch(kb)
