@@ -42,10 +42,9 @@ if "--tiny" in sys.argv:
     jax.config.update("jax_platforms", "cpu")
 
 # the tunneled remote-compile is the dominant cost of a cold run; persist
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.dirname(
-                      os.path.abspath(__file__))), ".jax_bench_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from anyedit_tpu.core.cache import enable_persistent_cache
+enable_persistent_cache(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def main():

@@ -33,10 +33,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.dirname(
-                      os.path.abspath(__file__))), ".jax_bench_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from anyedit_tpu.core.cache import enable_persistent_cache
+enable_persistent_cache(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 MAX_PROMPT = 1024
 MAX_NEW = 96

@@ -25,10 +25,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.dirname(
-                      os.path.abspath(__file__))), ".jax_bench_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from anyedit_tpu.core.cache import enable_persistent_cache
+enable_persistent_cache(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def sync(x):
