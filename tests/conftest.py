@@ -22,23 +22,13 @@ jax.config.update("jax_platforms", "cpu")
 # machine-specific, and loading a cache written on a host with different
 # vector extensions mis-executes silently (observed: NaN logits + SIGILL
 # warnings when an AMX-host cache was loaded on a non-AMX host).
-import hashlib  # noqa: E402
+import sys  # noqa: E402
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+from anyedit_tpu.core.cache import enable_persistent_cache  # noqa: E402
 
-def _cpu_tag() -> str:
-    try:
-        with open("/proc/cpuinfo") as f:
-            flags = next(l for l in f if l.startswith("flags"))
-    except (OSError, StopIteration):
-        import platform
-        flags = platform.processor() or "unknown"
-    return hashlib.sha1(flags.encode()).hexdigest()[:8]
-
-
-_cache = os.path.join(os.path.dirname(os.path.dirname(__file__)),
-                      f".jax_test_cache-{_cpu_tag()}")
-jax.config.update("jax_compilation_cache_dir", _cache)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+enable_persistent_cache(os.path.dirname(os.path.dirname(__file__)),
+                        name=".jax_test_cache", min_compile_secs=0.3)
 
 import pytest  # noqa: E402
 
