@@ -435,6 +435,78 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def cmd_generate(args) -> int:
+    """L2 instruction generation: captions → instruction-record JSONL
+    (reference CLI: edit_instruction/instruction_gen.py:98-174 — few-shot
+    prompt → LLM generate → parse → self-check; rule-based types route to
+    the rule generators). Backends: `template` (hermetic, deterministic)
+    or `llama` (the in-repo decoder; needs converted weights + tokenizer
+    assets for real language — random weights produce throughput only)."""
+    import random as _random
+
+    from anyedit_tpu.core.schema import write_records
+    from anyedit_tpu.grounding.tags import generate_tags
+    from anyedit_tpu.instructions.generator import (
+        InstructionGenerator, LlamaBackend, TemplateBackend,
+        rule_based_counting, rule_based_relation,
+        rule_based_resize_movement)
+
+    captions = [ln.strip() for ln in open(args.captions)
+                if ln.strip()][:args.limit or None]
+    rng = _random.Random(args.seed)
+
+    if args.edit_type in ("counting", "resize", "movement", "relation"):
+        recs = []
+        for cap in captions:
+            nouns = generate_tags(cap)["nouns"]
+            if not nouns:
+                continue
+            if args.edit_type == "counting":
+                recs.append(rule_based_counting(cap, nouns[0],
+                                                rng.randint(2, 6), rng))
+            elif args.edit_type == "relation":
+                if len(nouns) >= 2:
+                    recs.append(rule_based_relation(cap, nouns[0], nouns[1]))
+            else:
+                recs.append(rule_based_resize_movement(cap, nouns[0],
+                                                       args.edit_type, rng))
+    else:
+        if args.backend == "llama":
+            import dataclasses as _dc
+
+            import jax.numpy as jnp
+
+            from anyedit_tpu.models.llama import Llama, LLAMA3_8B, TINY_LLAMA
+            from anyedit_tpu.runtime.zoo import load_params
+            cfg = TINY_LLAMA if args.tiny else _dc.replace(
+                LLAMA3_8B, quant=args.int8)
+            model = Llama(cfg)
+            wf = (Path(args.weights) / "llama.msgpack"
+                  if args.weights else None)
+            params = load_params(model, (jnp.zeros((1, 8), jnp.int32),),
+                                 wf, args.seed,
+                                 require=args.require_weights)
+            v = cfg.vocab_size
+            tokenize = lambda s: [1 + (b % (v - 2))
+                                  for b in s.encode()][-1024:]
+            detok = lambda ids: bytes(
+                (max(0, i - 1) % 256) for i in ids).decode("utf-8",
+                                                           "replace")
+            llm = LlamaBackend(model, params, tokenize, detok,
+                               batch_size=args.batch_size)
+        else:
+            llm = TemplateBackend()
+        gen = InstructionGenerator(llm=llm, seed=args.seed,
+                                   self_check=not args.no_self_check)
+        recs = gen.generate(args.edit_type, captions,
+                            batch_size=args.batch_size)
+
+    write_records(args.output, recs)
+    print(json.dumps({"captions": len(captions), "records": len(recs),
+                      "output": args.output}))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import bench
     bench.main()
@@ -547,6 +619,25 @@ def main(argv=None) -> int:
     pe.add_argument("--start", type=int, default=0)
     pe.add_argument("--end", type=int, default=None)
     pe.set_defaults(fn=cmd_export)
+
+    pg = sub.add_parser("generate", help="captions → instruction records "
+                        "(L2 layer; template or llama backend)")
+    pg.add_argument("--captions", required=True,
+                    help="text file, one caption per line")
+    pg.add_argument("--edit-type", required=True)
+    pg.add_argument("--output", required=True, help=".jsonl or .json path")
+    pg.add_argument("--backend", choices=("template", "llama"),
+                    default="template")
+    pg.add_argument("--weights", default=None)
+    pg.add_argument("--require-weights", action="store_true")
+    pg.add_argument("--tiny", action="store_true")
+    pg.add_argument("--int8", action="store_true",
+                    help="W8A8 llama decoder (fits 8B on one v5e chip)")
+    pg.add_argument("--batch-size", type=int, default=16)
+    pg.add_argument("--limit", type=int, default=0)
+    pg.add_argument("--seed", type=int, default=0)
+    pg.add_argument("--no-self-check", action="store_true")
+    pg.set_defaults(fn=cmd_generate)
 
     pb = sub.add_parser("bench", help="throughput benchmark")
     pb.set_defaults(fn=cmd_bench)

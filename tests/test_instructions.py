@@ -293,3 +293,28 @@ def test_heuristic_tagger_noun_recall_bounded():
     print(f"tagger noun recall={recall:.3f} precision={precision:.3f}")
     assert recall >= 0.80, (recall, precision)
     assert precision >= 0.85, (recall, precision)
+
+
+def test_generate_cli_template_and_rule(tmp_path):
+    """`anyedit_tpu generate` writes instruction-record JSONL from a
+    caption file, for both the LLM path (template backend) and a
+    rule-based type (reference CLI parity: instruction_gen.py __main__)."""
+    from anyedit_tpu.cli import main as cli_main
+    from anyedit_tpu.core.schema import read_records
+
+    caps = tmp_path / "caps.txt"
+    caps.write_text("a dog on a beach\ntwo cats under a table\n")
+
+    out = tmp_path / "recs.jsonl"
+    rc = cli_main(["generate", "--captions", str(caps), "--edit-type",
+                   "remove", "--output", str(out)])
+    assert rc == 0
+    recs = read_records(out)
+    assert recs and all(r.edit_type == "remove" for r in recs)
+
+    out2 = tmp_path / "cnt.jsonl"
+    rc = cli_main(["generate", "--captions", str(caps), "--edit-type",
+                   "counting", "--output", str(out2)])
+    assert rc == 0
+    recs2 = read_records(out2)
+    assert recs2 and recs2[0].remove_number >= 1

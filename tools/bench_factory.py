@@ -141,10 +141,19 @@ def main():
 
     def ground(image, phrase, mode="merge", count_k=None):
         g = real_ground(image, phrase, mode=mode, count_k=count_k)
-        if id(image) in source_ids and (
-                g is None or not bool(np.any(np.asarray(g.mask)))):
-            g = _fallback(*image.shape[:2])
-        return g
+        if id(image) in source_ids:
+            if g is None or not bool(np.any(np.asarray(g.mask))):
+                g = _fallback(*image.shape[:2])
+            return g
+        # NON-source (verify / post-check) grounding: the full detector +
+        # SAM compute just ran above; DISCARD the random-weight result so
+        # the semantic gate behaves as it would with real weights (object
+        # gone after inpaint). Random GDINO logits are unscaled
+        # contrastive dot products, so sigmoid(logits) saturates and
+        # "detects" at any threshold — which at r4's first measurement
+        # failed every remove record before post_filter. The timed
+        # compute path is identical to a real success path.
+        return None
 
     tb.ground = ground
 
