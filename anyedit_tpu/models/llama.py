@@ -151,13 +151,21 @@ class Llama(nn.Module):
     def forward_embeds(self, embeds):
         """Full causal forward over pre-computed embeddings (B,L,D) —
         the multimodal entry (GOT-OCR/VILA splice image tokens in)."""
+        return self.lm_head(
+            self.norm_f(self.forward_hidden(embeds)).astype(jnp.float32))
+
+    def forward_hidden(self, embeds):
+        """forward_embeds minus norm_f/lm_head: final-block hidden states
+        (B,L,D). Training losses slice the positions they score and apply
+        norm_f + lm_head there only — at a 150k vocab the head over every
+        position dominates the step otherwise."""
         x = embeds
         l = embeds.shape[1]
         pos = jnp.arange(l)
         bias = jnp.triu(jnp.full((l, l), -1e9, jnp.float32), k=1)[None, None]
         for blk in self.blocks:
             x, _ = blk(x, pos, bias)
-        return self.lm_head(self.norm_f(x).astype(jnp.float32))
+        return x
 
     def prefill(self, embeds, cache_len: int):
         """embeds (B,L,D) → (logits_last (B,V), caches list[(k,v)]) with

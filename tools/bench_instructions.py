@@ -37,9 +37,12 @@ from anyedit_tpu.core.cache import enable_persistent_cache
 enable_persistent_cache(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
-MAX_PROMPT = 1024
-MAX_NEW = 96
-BATCH = 16
+MAX_PROMPT = int(os.environ.get("BENCH_INSTR_PROMPT", "1024"))
+MAX_NEW = int(os.environ.get("BENCH_INSTR_NEW", "96"))
+# batch 16 OOMs a 16 GB v5e at the 8B shape: ~8 GB int8 weights + float
+# embed/head + 32-layer KV caches at cache_len 1120 (batch 16 → 4.7 GB)
+# leave no headroom for prefill activations. 8 fits.
+BATCH = int(os.environ.get("BENCH_INSTR_BATCH", "8"))
 
 
 def fabricate_params(model, sample_ids):
