@@ -137,15 +137,23 @@ class DeformAttnModule(nn.Module):
 
 class BiFusion(nn.Module):
     """Bidirectional image↔text attention with gamma gates
-    (fuse_modules.py:99 BiMultiHeadAttention / :252 BiAttentionBlock)."""
+    (fuse_modules.py:99 BiMultiHeadAttention / :252 BiAttentionBlock).
+
+    The fusion attention runs at its OWN inner width: the reference
+    constructs it with `embed_dim=dim_feedforward//2, num_heads=nhead//2`
+    (transformer.py:99-103) — SwinB: 256→1024 rectangular projections,
+    4 heads × 256 head_dim. Found by the decorrelated golden test: at
+    default init the 1e-4 layer scale suppressed the head-partitioning
+    mismatch of an earlier square formulation below test tolerance."""
 
     cfg: GDINOConfig
 
     @nn.compact
     def __call__(self, img, txt, txt_bias):
         c = self.cfg
-        h = c.heads
-        d = c.hidden // h
+        e = c.ffn_dim // 2
+        h = max(1, c.heads // 2)
+        d = e // h
         gi = self.param("gamma_i", nn.initializers.constant(1e-4),
                         (c.hidden,), jnp.float32)
         gt = self.param("gamma_t", nn.initializers.constant(1e-4),
@@ -159,14 +167,14 @@ class BiFusion(nn.Module):
         b, s, _ = img_n.shape
         t = txt_n.shape[1]
         sp = lambda x, l: x.reshape(b, l, h, d).transpose(0, 2, 1, 3)
-        qi = sp(nn.Dense(c.hidden, dtype=c.dtype, name="qi")(img_n), s)
-        kt = sp(nn.Dense(c.hidden, dtype=c.dtype, name="kt")(txt_n), t)
-        vt = sp(nn.Dense(c.hidden, dtype=c.dtype, name="vt")(txt_n), t)
-        vi = sp(nn.Dense(c.hidden, dtype=c.dtype, name="vi")(img_n), s)
+        qi = sp(nn.Dense(e, dtype=c.dtype, name="qi")(img_n), s)
+        kt = sp(nn.Dense(e, dtype=c.dtype, name="kt")(txt_n), t)
+        vt = sp(nn.Dense(e, dtype=c.dtype, name="vt")(txt_n), t)
+        vi = sp(nn.Dense(e, dtype=c.dtype, name="vi")(img_n), s)
         i2t = sdpa_xla(qi, kt, vt, bias=txt_bias)                 # img attends text
         t2i = sdpa_xla(kt, qi, vi)                                # text attends img
-        i2t = i2t.transpose(0, 2, 1, 3).reshape(b, s, c.hidden)
-        t2i = t2i.transpose(0, 2, 1, 3).reshape(b, t, c.hidden)
+        i2t = i2t.transpose(0, 2, 1, 3).reshape(b, s, e)
+        t2i = t2i.transpose(0, 2, 1, 3).reshape(b, t, e)
         img = img_n + gi * nn.Dense(c.hidden, dtype=c.dtype, name="oi")(i2t)
         txt = txt_n + gt * nn.Dense(c.hidden, dtype=c.dtype, name="ot")(t2i)
         return img, txt

@@ -116,9 +116,13 @@ class SAMEncBlock(nn.Module):
         q, k, v = qkv[0], qkv[1], qkv[2]
         rel_h = self.param("rel_h", nn.initializers.zeros, (2 * ah - 1, hd), jnp.float32)
         rel_w = self.param("rel_w", nn.initializers.zeros, (2 * aw - 1, hd), jnp.float32)
-        scale = hd ** -0.5
+        # the reference adds the rel-pos bias from the UNSCALED q
+        # (image_encoder.py: attn = (q*scale)@k.T THEN
+        # add_decomposed_rel_pos(attn, q, ...) with raw q) — found by the
+        # decorrelated golden test; zero-init rel tables hid the 1/√d
+        # mis-scale at default init
         bias = _decomposed_rel_pos_bias(rel_h, rel_w, (ah, aw), (ah, aw),
-                                        q.astype(jnp.float32) * scale)
+                                        q.astype(jnp.float32))
         from anyedit_tpu.ops.attention import sdpa_xla
         out = sdpa_xla(q, k, v, bias=bias)
         out = out.transpose(0, 2, 1, 3).reshape(nb, ah, aw, ch)
@@ -221,9 +225,16 @@ class TwoWayBlock(nn.Module):
             out = out.transpose(0, 2, 1, 3).reshape(q.shape[0], q.shape[1], d)
             return nn.Dense(c.out_dim, dtype=c.dtype, name=f"{name}_o")(out)
 
-        # self-attention on queries
-        q_in = queries if self.skip_first_pe else queries + q_pe
-        queries = queries + attn("self", q_in, q_in, queries)
+        # self-attention on queries. Block 0 (skip_first_pe) REPLACES the
+        # queries with the attention output — no residual (original
+        # transformer.py TwoWayAttentionBlock: `queries = self.self_attn(
+        # q=queries, ...)` vs the residual add in every later block) —
+        # found by the decorrelated golden test
+        if self.skip_first_pe:
+            queries = attn("self", queries, queries, queries)
+        else:
+            q_in = queries + q_pe
+            queries = queries + attn("self", q_in, q_in, queries)
         queries = LayerNorm(dtype=c.dtype, name="ln1")(queries)
         # cross: tokens → image
         queries = queries + attn("t2i", queries + q_pe, keys + k_pe, keys,
@@ -260,7 +271,12 @@ class SAMMaskDecoder(nn.Module):
         toks = jnp.concatenate([iou_tok, mask_tok], axis=0)
         toks = jnp.broadcast_to(toks[None], (b,) + toks.shape)
         queries = jnp.concatenate([toks, prompts], axis=1)
-        q_pe = jnp.concatenate([jnp.zeros_like(toks), prompts], axis=1)
+        # the query "positional embedding" re-added at every layer is the
+        # FULL initial token embedding — output tokens included, NOT zeroed
+        # (original transformer.py TwoWayTransformer.forward: `queries =
+        # point_embedding; ... query_pe=point_embedding`) — found by the
+        # decorrelated golden test
+        q_pe = queries
 
         h, w = img_emb.shape[1], img_emb.shape[2]
         keys = img_emb.reshape(b, h * w, c.out_dim)
@@ -283,11 +299,17 @@ class SAMMaskDecoder(nn.Module):
 
         # upscale image embedding 4x
         src = keys.reshape(b, h, w, c.out_dim)
+        # transpose_kernel=True for exact torch ConvTranspose2d semantics
+        # (default flax orientation places the kernel spatially REVERSED —
+        # the decorrelated golden test measured O(1) divergence here; same
+        # fix LaMa/DepthAnythingV2 already carry)
         src = nn.ConvTranspose(c.out_dim // 4, (2, 2), strides=(2, 2),
+                               padding="VALID", transpose_kernel=True,
                                dtype=c.dtype, name="up1")(src)
         src = LayerNorm(dtype=c.dtype, name="up_ln")(src)
         src = nn.gelu(src)
         src = nn.ConvTranspose(c.out_dim // 8, (2, 2), strides=(2, 2),
+                               padding="VALID", transpose_kernel=True,
                                dtype=c.dtype, name="up2")(src)
         src = nn.gelu(src)
 

@@ -325,8 +325,8 @@ def load_params_file(path: str | Path):
 
 # ---- SAM (official segment-anything checkpoint naming) -------------------
 
-def t_convT(w):  # torch ConvTranspose2d (I,O,kH,kW) -> flax (kH,kW,I,O)
-    return np.transpose(w, (2, 3, 0, 1))
+def t_convT(w):  # torch ConvTranspose2d (I,O,kH,kW) -> flax transpose_kernel
+    return np.transpose(w, (2, 3, 1, 0))      # (kH,kW,O,I)
 
 
 def t_pos_embed(w):  # (1,H,W,C) -> (H,W,C)

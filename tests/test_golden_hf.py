@@ -19,6 +19,39 @@ def _np_state(torch_model):
     return {k: v.detach().numpy() for k, v in torch_model.state_dict().items()}
 
 
+def _decorrelate(torch_model, seed=0):
+    """Make every float parameter unique before conversion.
+
+    HF default init zeroes all biases and ones all LayerNorm scales, so a
+    converter that cross-wires two of them — or consumes one tensor twice
+    and drops another of the same shape — still passes golden parity (the
+    'mis-map symmetric under random init' hole weights/verify.py documents
+    for real checkpoints). N(0, 0.02) noise on EVERY float parameter
+    (buffers untouched: position-id/causal-mask buffers carry semantics)
+    breaks the symmetry; both models consume the same perturbed values, so
+    parity must still hold."""
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in torch_model.parameters():
+            if p.is_floating_point():
+                p.add_(torch.randn(p.shape, generator=g,
+                                   dtype=torch.float32).to(p.dtype) * 0.02)
+    return torch_model
+
+
+def _tie_sam_pe(sam_model):
+    """HF SamModel holds TWO independently-initialized random-Fourier PE
+    buffers (`shared_image_embedding` for the dense image grid and
+    `prompt_encoder.shared_embedding` for sparse prompts); the original SAM
+    has a single `pe_layer` used for both, so every real checkpoint carries
+    them EQUAL. Random-init parity must reproduce the checkpoint invariant
+    or the dense-grid PE silently diverges from the prompt PE."""
+    with torch.no_grad():
+        sam_model.shared_image_embedding.positional_embedding.copy_(
+            sam_model.prompt_encoder.shared_embedding.positional_embedding)
+    return sam_model
+
+
 def test_bert_matches_hf():
     from transformers import BertConfig as HFBertConfig, BertModel
     from anyedit_tpu.models.bert import BertConfig, BertEncoder
@@ -30,7 +63,7 @@ def test_bert_matches_hf():
                           attention_probs_dropout_prob=0.0,
                           hidden_dropout_prob=0.0)
     torch.manual_seed(0)
-    hf = BertModel(hf_cfg, add_pooling_layer=False).eval()
+    hf = _decorrelate(BertModel(hf_cfg, add_pooling_layer=False).eval())
 
     ours = BertEncoder(BertConfig(vocab_size=128, hidden=32, layers=2,
                                   heads=2, max_len=32, type_vocab=2,
@@ -41,7 +74,9 @@ def test_bert_matches_hf():
     out_ours = np.asarray(ours.apply(tree, jnp.asarray(ids, jnp.int32)))
     with torch.no_grad():
         out_hf = hf(torch.from_numpy(ids)).last_hidden_state.numpy()
-    np.testing.assert_allclose(out_ours, out_hf, atol=1e-4)
+    # 3e-4: decorrelated LN scales amplify reduction-order ulps slightly
+    # (mis-maps show O(1e-1) here)
+    np.testing.assert_allclose(out_ours, out_hf, atol=3e-4)
 
 
 def test_clip_text_matches_hf():
@@ -54,7 +89,7 @@ def test_clip_text_matches_hf():
                        attention_dropout=0.0, eos_token_id=126,
                        bos_token_id=125)
     torch.manual_seed(1)
-    hf = CLIPTextModel(hf_cfg).eval()
+    hf = _decorrelate(CLIPTextModel(hf_cfg).eval())
 
     ours = CLIPTextEncoder(CLIPTextConfig(vocab_size=128, hidden=32,
                                           layers=2, heads=2, max_len=16,
@@ -92,7 +127,7 @@ def test_clip_text_with_projection_matches_hf():
                        attention_dropout=0.0, eos_token_id=126,
                        bos_token_id=125, projection_dim=24)
     torch.manual_seed(3)
-    hf = CLIPTextModelWithProjection(hf_cfg).eval()
+    hf = _decorrelate(CLIPTextModelWithProjection(hf_cfg).eval())
 
     ours = CLIPTextEncoder(CLIPTextConfig(
         vocab_size=128, hidden=32, layers=2, heads=2, max_len=16,
@@ -118,7 +153,7 @@ def test_clip_vision_matches_hf():
                       image_size=32, patch_size=8, projection_dim=16,
                       hidden_act="quick_gelu", attention_dropout=0.0)
     torch.manual_seed(2)
-    hf = CLIPVisionModelWithProjection(hf_cfg).eval()
+    hf = _decorrelate(CLIPVisionModelWithProjection(hf_cfg).eval())
 
     ours = CLIPVisionEncoder(CLIPVisionConfig(
         image_size=32, patch=8, hidden=32, layers=2, heads=2, proj_dim=16,
@@ -183,7 +218,7 @@ def test_t5_encoder_matches_hf():
                      feed_forward_proj="gated-gelu", dropout_rate=0.0,
                      is_encoder_decoder=False, use_cache=False)
     torch.manual_seed(5)
-    hf = T5EncoderModel(hf_cfg).eval()
+    hf = _decorrelate(T5EncoderModel(hf_cfg).eval())
 
     ours = T5Encoder(T5Config(vocab_size=64, dim=32, kv_dim=8, heads=4,
                               ffn_dim=64, enc_layers=2, dec_layers=0,
@@ -211,7 +246,7 @@ def test_dinov2_matches_hf():
                        attention_probs_dropout_prob=0.0,
                        hidden_dropout_prob=0.0, drop_path_rate=0.0)
     torch.manual_seed(6)
-    hf = Dinov2Model(hf_cfg).eval()
+    hf = _decorrelate(Dinov2Model(hf_cfg).eval())
 
     ours = DinoV2(DinoV2Config(img_size=28, patch=7, dim=32, depth=2,
                                heads=2, dtype=jnp.float32))
@@ -240,7 +275,7 @@ def test_t5_decoder_matches_hf():
                      feed_forward_proj="gated-gelu", dropout_rate=0.0,
                      tie_word_embeddings=False, use_cache=False)
     torch.manual_seed(8)
-    hf = T5ForConditionalGeneration(hf_cfg).eval()
+    hf = _decorrelate(T5ForConditionalGeneration(hf_cfg).eval())
 
     cfg = T5Config(vocab_size=64, dim=32, kv_dim=8, heads=4, ffn_dim=64,
                    enc_layers=2, dec_layers=2, dtype=jnp.float32)
@@ -280,7 +315,7 @@ def test_qformer_matches_hf():
                                 attention_probs_dropout_prob=0.0,
                                 hidden_dropout_prob=0.0)
     torch.manual_seed(9)
-    hf = Blip2QFormerModel(hf_cfg).eval()
+    hf = _decorrelate(Blip2QFormerModel(hf_cfg).eval())
 
     lm_dim = 24
     cfg = QFormerConfig(num_queries=4, dim=32, layers=2, heads=2,
@@ -329,7 +364,7 @@ def test_upernet_swin_matches_hf():
                            pool_scales=(1, 3), num_labels=8,
                            use_auxiliary_head=False)
     torch.manual_seed(11)
-    hf = UperNetForSemanticSegmentation(hf_cfg).eval()
+    hf = _decorrelate(UperNetForSemanticSegmentation(hf_cfg).eval())
 
     ours = UperNetSegmenter(SegConfig(
         backbone=SwinConfig(embed_dim=16, depths=(2, 2), heads=(2, 2),
@@ -372,7 +407,7 @@ def test_got_ocr_matches_hf():
     cfg = GotOcr2Config(vision_config=vc.to_dict(), text_config=tc.to_dict(),
                         image_token_index=255)
     torch.manual_seed(13)
-    hf = GotOcr2ForConditionalGeneration(cfg).eval()
+    hf = _decorrelate(GotOcr2ForConditionalGeneration(cfg).eval())
 
     ours = GotOCR(OCRConfig(
         vision=SAMConfig(img_size=64, patch=16, enc_dim=16, enc_depth=2,
@@ -423,7 +458,7 @@ def test_vila_llava_matches_hf():
                       vision_feature_select_strategy="default",
                       projector_hidden_act="gelu")
     torch.manual_seed(15)
-    hf = LlavaForConditionalGeneration(cfg).eval()
+    hf = _decorrelate(LlavaForConditionalGeneration(cfg).eval())
 
     ours = VilaVQA(VilaConfig(
         vision=CLIPVisionConfig(image_size=32, patch=8, hidden=16, layers=1,
@@ -480,7 +515,7 @@ def test_gdino_matches_hf():
         dropout=0.0, activation_dropout=0.0, attention_dropout=0.0,
         fusion_droppath=0.0, fusion_dropout=0.0, text_enhancer_dropout=0.0)
     torch.manual_seed(17)
-    hf = GroundingDinoForObjectDetection(cfg).eval()
+    hf = _decorrelate(GroundingDinoForObjectDetection(cfg).eval())
 
     ours = GroundingDINO(GDINOConfig(
         swin=SwinConfig(embed_dim=16, depths=(1, 1), heads=(2, 2), window=4,
@@ -537,7 +572,7 @@ def test_sam_matches_hf():
                     prompt_encoder_config=pc.to_dict(),
                     mask_decoder_config=mc.to_dict())
     torch.manual_seed(19)
-    hf = SamModel(cfg).eval()
+    hf = _decorrelate(_tie_sam_pe(SamModel(cfg).eval()))
 
     ours = SAM(SAMConfig(img_size=64, patch=8, enc_dim=32, enc_depth=2,
                          enc_heads=2, window=4, global_attn_idx=(1,),
@@ -589,7 +624,7 @@ def test_depth_anything_matches_hf():
                               patch_size=14, head_hidden_size=32,
                               head_in_index=-1)
     torch.manual_seed(21)
-    hf = DepthAnythingForDepthEstimation(cfg).eval()
+    hf = _decorrelate(DepthAnythingForDepthEstimation(cfg).eval())
 
     ours = DepthAnythingV2(DPTConfig(
         backbone=DinoV2Config(img_size=56, patch=14, dim=32, depth=4,
@@ -649,7 +684,7 @@ def test_gdino_sam_bf16_parity_vs_fp32_hf():
         dropout=0.0, activation_dropout=0.0, attention_dropout=0.0,
         fusion_droppath=0.0, fusion_dropout=0.0, text_enhancer_dropout=0.0)
     torch.manual_seed(23)
-    hf = GroundingDinoForObjectDetection(cfg).eval()
+    hf = _decorrelate(GroundingDinoForObjectDetection(cfg).eval())
 
     ours = GroundingDINO(GDINOConfig(
         swin=SwinConfig(embed_dim=16, depths=(1, 1), heads=(2, 2), window=4,
@@ -709,7 +744,7 @@ def test_gdino_sam_bf16_parity_vs_fp32_hf():
                      prompt_encoder_config=pc.to_dict(),
                      mask_decoder_config=mc.to_dict())
     torch.manual_seed(25)
-    hfs = SamModel(scfg).eval()
+    hfs = _decorrelate(_tie_sam_pe(SamModel(scfg).eval()))
     ours_s = SAM(SAMConfig(img_size=64, patch=8, enc_dim=32, enc_depth=2,
                            enc_heads=2, window=4, global_attn_idx=(1,),
                            out_dim=16, dec_depth=2, dec_heads=2,

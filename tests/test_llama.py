@@ -60,7 +60,8 @@ def test_llama_matches_hf():
                    rope_theta=10000.0, rms_norm_eps=1e-5,
                    attention_dropout=0.0, tie_word_embeddings=False)
     torch.manual_seed(3)
-    hf = LlamaForCausalLM(hf_cfg).eval()
+    from test_golden_hf import _decorrelate
+    hf = _decorrelate(LlamaForCausalLM(hf_cfg).eval())
 
     m = Llama(F32)
     ids = np.array([[3, 9, 27, 81, 11]], np.int64)

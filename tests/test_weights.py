@@ -127,7 +127,7 @@ def test_sam_converter_roundtrip():
                   jnp.zeros((1, 1, 4)))
     inv = {id(t_conv): lambda w: np.transpose(w, (3, 2, 0, 1)),
            id(t_linear): np.transpose, id(t_id): np.asarray,
-           id(t_convT): lambda w: np.transpose(w, (2, 3, 0, 1)),
+           id(t_convT): lambda w: np.transpose(w, (3, 2, 0, 1)),
            id(t_pos_embed): lambda w: np.asarray(w)[None]}
     hf = {}
 
