@@ -101,6 +101,9 @@ def cmd_run(args) -> int:
         import dataclasses as _dc
         zoo_cfg = _dc.replace(zoo_cfg, quant_ip2p=True,
                               quant_diffusion=True)
+    if getattr(args, "lcm_steps", 0):
+        import dataclasses as _dc
+        zoo_cfg = _dc.replace(zoo_cfg, lcm_steps=args.lcm_steps)
     zoo = ModelZoo(zoo_cfg, weights_dir=args.weights, seed=args.seed,
                    require_weights=args.require_weights)
 
@@ -539,6 +542,11 @@ def main(argv=None) -> int:
     pr.add_argument("--int8", action="store_true",
                     help="W8A8 int8 UNet fast mode for the IP2P editor "
                          "(ops/quant.py; ~2x MXU int8 peak on v5e)")
+    pr.add_argument("--lcm-steps", type=int, default=0,
+                    help="distilled few-step consistency editor for the "
+                         "IP2P slot (train/distill.py; loads "
+                         "unet_ip2p_lcm.msgpack when present). 0 = off; "
+                         "4 is the measured 63k pairs/hr/chip mode")
     _add_shard_args(pr)
     pr.set_defaults(fn=cmd_run)
 

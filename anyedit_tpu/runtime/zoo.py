@@ -111,6 +111,15 @@ class ZooConfig:
     # SDXL refine). Attention-surgery paths (MasaCtrl/P2P/regional) and
     # AnyDoor ControlNet stay bf16 — their processors read raw attention.
     quant_diffusion: bool = False
+    # distilled few-step consistency editor (train/distill.py lcm_edit):
+    # >0 routes the ip2p slot through the LCM sampler at this many steps
+    # (one UNet row per step — the teacher's folded 3-way CFG runs 3),
+    # loading the distilled student from `unet_ip2p_lcm.msgpack` when
+    # present (else the teacher slot). Guidance is folded into the
+    # distilled weights, so the per-call steps/s_txt/s_img knobs are
+    # ignored in this mode; masked edits composite once at x0. Measured
+    # 63,307 pairs/hr/chip at 4 steps vs bf16's 3,033 (docs/fast_modes.json).
+    lcm_steps: int = 0
     # compile GroundingDINO/SAM as per-layer-kind units instead of one
     # monolithic program (models/gdino.py make_gdino_stepwise,
     # models/sam.py make_encode_stepwise; numerically identical). Required
@@ -507,8 +516,15 @@ class ModelZoo:
             t = jnp.zeros((3,), jnp.int32)
             ctx = jnp.zeros((3, 77, c.ip2p_unet.context_dim), jnp.bfloat16)
             unet = UNet2DCondition(c.ip2p_unet)
-            params = load_params(unet, (x, t, ctx), self._wf("unet_ip2p"),
-                                 self.seed)
+            wf = self._wf("unet_ip2p")
+            if c.lcm_steps > 0 and self.weights is not None:
+                # prefer the distilled student when it exists; the teacher
+                # checkpoint keeps LCM mode runnable (throughput-true,
+                # quality needs the distilled weights)
+                lwf = self.weights / "unet_ip2p_lcm.msgpack"
+                if lwf.exists():
+                    wf = lwf
+            params = load_params(unet, (x, t, ctx), wf, self.seed)
             if c.quant_ip2p or c.quant_diffusion:
                 unet, params = self._quantize_unet(c.ip2p_unet, params,
                                                    (x, t, ctx))
@@ -577,6 +593,27 @@ class ModelZoo:
                 return lat
 
             run = run_fused if c.fused_diffusion_loop else run_stepwise
+
+            if c.lcm_steps > 0:
+                # distilled few-step consistency editor: ONE UNet row per
+                # step (the folded-CFG student, train/distill.py). The
+                # caller's steps/s_txt/s_img are teacher knobs — folded
+                # into the distilled weights, hence ignored here.
+                from anyedit_tpu.train.distill import DistillConfig, lcm_edit
+                dcfg = DistillConfig(unet=c.ip2p_unet)
+                lcm_run = jax.jit(lambda p, lat_in, cond, k: lcm_edit(
+                    unet.apply, p, ns, dcfg, lat_in, cond, k,
+                    num_steps=c.lcm_steps))
+
+                def run(params, lat_in, cond, uncond, mask, k, steps,
+                        s_txt, s_img):
+                    out = lcm_run(params, lat_in, cond, k)
+                    if mask is not None:
+                        # few-step samplers composite once at x0 — the
+                        # same thing the stepwise loop's FINAL composite
+                        # does (i+1 == steps → clean img_lat)
+                        out = mask * out + (1.0 - mask) * lat_in
+                    return out
 
             def edit(image_u8, instruction, mask01, steps=50, s_txt=8.0,
                      s_img=0.9, seed=0):

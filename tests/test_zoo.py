@@ -124,3 +124,53 @@ def test_grounder_stepwise_matches_monolithic(zoo):
                                    atol=1e-3, rtol=1e-3)
         same = np.mean((np.asarray(g1.mask) > 0) == (np.asarray(g0.mask) > 0))
         assert same > 0.99, same
+
+
+def test_ip2p_lcm_mode(zoo, tmp_path):
+    """cfg.lcm_steps>0 routes the ip2p slot through the distilled few-step
+    consistency sampler (train/distill.py lcm_edit): guidance knobs are
+    folded into the weights (ignored per-call), masked edits composite at
+    x0, and a `unet_ip2p_lcm.msgpack` student is preferred over the
+    teacher slot."""
+    import jax
+    from flax.serialization import msgpack_restore, msgpack_serialize
+
+    cfg = dataclasses.replace(zoo.cfg, lcm_steps=2)
+    z = ModelZoo(cfg)
+    edit = z.ip2p()
+    img = np.random.default_rng(5).integers(0, 255, (48, 40, 3), np.uint8)
+    out = edit(img, "make it blue", None, seed=0)
+    assert out.shape == img.shape and out.dtype == np.uint8
+
+    # the teacher's CFG knobs are folded into the student: per-call
+    # steps/s_txt/s_img must not change the result
+    out2 = edit(img, "make it blue", None, steps=17, s_txt=3.5, s_img=0.1,
+                seed=0)
+    np.testing.assert_array_equal(out, out2)
+
+    mask = np.zeros((48, 40), np.float32)
+    mask[:24] = 1.0
+    outm = edit(img, "make it blue", mask, seed=0)
+    assert outm.shape == img.shape
+    assert not np.array_equal(outm, out)   # composite changed the bottom
+
+    # distilled-student slot preference: with unet_ip2p_lcm.msgpack on
+    # disk, _ip2p_core loads IT (not the teacher slot / random init)
+    hw = cfg.canvas.edit_size // cfg.canvas.latent_down
+    from anyedit_tpu.models.unet_sd import UNet2DCondition
+    unet = UNet2DCondition(cfg.ip2p_unet)
+    student = jax.jit(unet.init)(
+        jax.random.key(123),
+        jnp.zeros((3, hw, hw, cfg.ip2p_unet.in_channels), jnp.float32),
+        jnp.zeros((3,), jnp.int32),
+        jnp.zeros((3, 77, cfg.ip2p_unet.context_dim), jnp.float32))
+    (tmp_path / "unet_ip2p_lcm.msgpack").write_bytes(
+        msgpack_serialize(jax.device_get(student)))
+    zw = ModelZoo(cfg, weights_dir=tmp_path)
+    _, loaded, _ = zw._ip2p_core()
+    want = msgpack_restore(
+        (tmp_path / "unet_ip2p_lcm.msgpack").read_bytes())
+    lw = jax.tree_util.tree_leaves(want)
+    ll = jax.tree_util.tree_leaves(loaded)
+    assert len(lw) == len(ll)
+    np.testing.assert_array_equal(np.asarray(ll[0]), np.asarray(lw[0]))

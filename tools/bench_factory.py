@@ -105,6 +105,9 @@ def main():
         size = 512
     if "--int8" in sys.argv:    # W8A8 fast mode (ops/quant.py)
         cfg = dataclasses.replace(cfg, quant_ip2p=True, quant_diffusion=True)
+    if "--lcm" in sys.argv:     # distilled few-step consistency editor
+        cfg = dataclasses.replace(
+            cfg, lcm_steps=int(os.environ.get("BENCH_LCM_STEPS", "4")))
     zoo = ModelZoo(cfg)
     tb = zoo.toolbox(with_diffusion=True, slots=["clip", "aesthetic"])
 
@@ -286,9 +289,23 @@ def main():
         if res["counts"].get("failure", 0) == 0 and res["records"]:
             full_path_n += res["records"]
             full_path_s += res["seconds"]
+    mode = "bf16"
+    if "--int8" in sys.argv:
+        mode = "int8"
+    if cfg.lcm_steps:
+        mode = f"lcm{cfg.lcm_steps}" + ("+int8" if "--int8" in sys.argv
+                                        else "")
+    ground_note = (
+        "PRODUCTION grounding shapes (GDINO SwinB 900q@800px, SAM "
+        "ViT-H@1024, stepwise compile units)" if "--prod" in sys.argv
+        else "reduced grounding configs (GDINO 300q@384, SAM ViT-B@512); "
+             "see module docstring for FLOP scaling to production buckets")
+    edit_note = (f"ip2p edits via the {cfg.lcm_steps}-step LCM consistency "
+                 "sampler (caller step count ignored)" if cfg.lcm_steps
+                 else f"ip2p edits at {steps} DDIM steps")
     final = {
         "records": total_records, "steps": steps,
-        "mode": "int8" if "--int8" in sys.argv else "bf16",
+        "mode": mode,
         "seconds": round(total_s, 2),
         "records_per_hour_chip": round(total_records / total_s * 3600, 1)
         if total_s else None,
@@ -299,8 +316,7 @@ def main():
         "batched_per_type": batched,
         "measured_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "device": str(jax.devices()[0]),
-        "note": "reduced grounding configs; see module docstring for "
-                "FLOP scaling to production buckets. records_per_hour_chip "
+        "note": f"{ground_note}; {edit_note}. records_per_hour_chip "
                 "blends success+failure records (failures skip post_filter); "
                 "full_path rate counts only all-success groups"}
     print(json.dumps(final))
@@ -308,6 +324,7 @@ def main():
     # stream is too compile-heavy for the driver's bench window)
     if "--tiny" not in sys.argv:
         name = ("factory_bench_int8.json" if "--int8" in sys.argv
+                else "factory_bench_lcm.json" if cfg.lcm_steps
                 else "factory_bench.json")
         out = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "docs", name)
