@@ -524,6 +524,14 @@ class ModelZoo:
                 lwf = self.weights / "unet_ip2p_lcm.msgpack"
                 if lwf.exists():
                     wf = lwf
+                elif self.require_weights:
+                    # --require-weights + lcm_steps with no student file
+                    # would silently run TEACHER weights through the
+                    # consistency sampler (degraded edits, no error)
+                    raise FileNotFoundError(
+                        f"lcm_steps={c.lcm_steps} with require_weights "
+                        f"needs the distilled student {lwf}; run "
+                        "`anyedit_tpu distill` first or drop --lcm-steps")
             params = load_params(unet, (x, t, ctx), wf, self.seed)
             if c.quant_ip2p or c.quant_diffusion:
                 unet, params = self._quantize_unet(c.ip2p_unet, params,
@@ -686,6 +694,28 @@ class ModelZoo:
                                  image_guidance_scale=s_img, mask=mask,
                                  init_latents=init)
 
+            if c.lcm_steps > 0:
+                # distilled few-step path: the teacher 3-way-CFG DDIM math
+                # above is WRONG for folded-CFG student weights, so the
+                # batched editor must sample exactly like ip2p()'s lcm_run.
+                # vmapped per-record keys reproduce the per-record editor's
+                # noise draws (lcm_edit splits each record's key itself).
+                from anyedit_tpu.train.distill import DistillConfig, lcm_edit
+                dcfg = DistillConfig(unet=c.ip2p_unet)
+
+                @jax.jit
+                def run_lcm(params, lat, cond, mask, seed_arr):
+                    def one(lat_j, cond_j, s):
+                        return lcm_edit(
+                            unet.apply, params, ns, dcfg, lat_j[None],
+                            cond_j[None], jax.random.key(s),
+                            num_steps=c.lcm_steps)[0]
+                    out = jax.vmap(one)(lat, cond, seed_arr)
+                    if mask is not None:
+                        # single x0 composite, same as ip2p()'s lcm branch
+                        out = mask * out + (1.0 - mask) * lat
+                    return out
+
             def _tail_bucket(m: int) -> int:
                 """Smallest dp-divisible power-of-two slice of bkt that fits
                 m records — tail chunks compile a (cached) smaller program
@@ -736,8 +766,15 @@ class ModelZoo:
                         for v in (lat, cond, uncond, init))
                     if mask is not None:
                         mask = jax.device_put(mask, dsh)
-                out = run(params_r, lat, cond, uncond, mask, init,
-                          steps, s_txt, s_img)
+                if c.lcm_steps > 0:
+                    sarr = jnp.asarray(
+                        [seeds[min(i, n - 1)] for i in range(b)], jnp.uint32)
+                    if dsh is not None:
+                        sarr = jax.device_put(sarr, dsh)
+                    out = run_lcm(params_r, lat, cond, mask, sarr)
+                else:
+                    out = run(params_r, lat, cond, uncond, mask, init,
+                              steps, s_txt, s_img)
                 imgs = dec((out / c.vae.scaling_factor).astype(jnp.bfloat16))
                 res = []
                 for i in range(n):

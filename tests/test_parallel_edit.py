@@ -104,3 +104,36 @@ def test_tail_bucket_respects_dp(zoo):
     # dp=8 floor: tail cannot shrink below the mesh's dp extent
     assert batched.stats["real"] - r0 == 3
     assert batched.stats["padded"] - p0 == 5
+
+
+def test_lcm_batch_matches_per_record(zoo):
+    """ADVICE r4 (medium): with lcm_steps>0 the batched editor must run the
+    consistency sampler (folded-CFG student math), not the teacher 3-way-CFG
+    DDIM loop — and per-record seeds must reproduce the per-record lcm
+    editor's noise draws."""
+    cfg = dataclasses.replace(zoo.cfg, lcm_steps=2)
+    z = ModelZoo(cfg)
+    imgs = _images(3)
+    instrs = ["make it red", "make it blue", "add snow"]
+    batched = z.ip2p_batch_fn(mesh=None, bucket=4)
+    outs = batched(imgs, instrs, seeds=[5, 6, 7])
+    single = z.ip2p()
+    for i in range(3):
+        want = single(imgs[i], instrs[i], None, seed=5 + i)
+        got = outs[i]
+        assert got.shape == want.shape == imgs[i].shape
+        assert np.mean(np.abs(got.astype(np.float32)
+                              - want.astype(np.float32))) < 2.0
+
+
+def test_lcm_batch_masked_composites(zoo):
+    cfg = dataclasses.replace(zoo.cfg, lcm_steps=2)
+    z = ModelZoo(cfg)
+    imgs = _images(2)
+    m = np.zeros((40, 40), np.float32)
+    m[:20] = 1.0
+    batched = z.ip2p_batch_fn(mesh=None, bucket=2)
+    out_m, out_f = batched(imgs, ["recolor", "recolor"], masks=[m, None],
+                           seeds=[3, 3])
+    assert out_m.shape == imgs[0].shape and out_m.dtype == np.uint8
+    assert np.isfinite(out_m.astype(np.float32)).all()

@@ -166,7 +166,7 @@ def test_ip2p_lcm_mode(zoo, tmp_path):
         jnp.zeros((3, 77, cfg.ip2p_unet.context_dim), jnp.float32))
     (tmp_path / "unet_ip2p_lcm.msgpack").write_bytes(
         msgpack_serialize(jax.device_get(student)))
-    zw = ModelZoo(cfg, weights_dir=tmp_path)
+    zw = ModelZoo(cfg, weights_dir=tmp_path, allow_fallback_tokenizers=True)
     _, loaded, _ = zw._ip2p_core()
     want = msgpack_restore(
         (tmp_path / "unet_ip2p_lcm.msgpack").read_bytes())

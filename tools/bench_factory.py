@@ -323,7 +323,9 @@ def main():
     # persist as the committed record bench.py rides along (the full
     # stream is too compile-heavy for the driver's bench window)
     if "--tiny" not in sys.argv:
-        name = ("factory_bench_int8.json" if "--int8" in sys.argv
+        name = ("factory_bench_lcm_int8.json"
+                if ("--int8" in sys.argv and cfg.lcm_steps)
+                else "factory_bench_int8.json" if "--int8" in sys.argv
                 else "factory_bench_lcm.json" if cfg.lcm_steps
                 else "factory_bench.json")
         out = os.path.join(os.path.dirname(os.path.dirname(
