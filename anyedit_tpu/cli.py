@@ -380,6 +380,251 @@ def cmd_train(args) -> int:
     return 0
 
 
+def cmd_distill(args) -> int:
+    """LCM guidance distillation of the IP2P editor into the few-step
+    student checkpoint that `run --lcm-steps` consumes
+    (`unet_ip2p_lcm.msgpack`).
+
+    This is the production entry for the fast mode: the reference's
+    WYS-IP2P editor runs a 100-step 3-way-CFG DDIM loop per edit
+    (adaptive_editing_pipelines/tools/global_tool.py:105-192); the
+    distilled student folds that guidance into its weights
+    (train/distill.py) so the factory edits in `--lcm-steps` single
+    UNet passes. Data = (orig, edited, instruction) pairs from a factory
+    success ledger — the same mixture pipeline the AnySD trainer eats.
+
+    With `--eval-count N` the command also writes two eval run
+    directories (<checkpoint-dir>/eval_teacher, eval_student): matched
+    record sets edited by the teacher at --ddim-steps and by the student
+    at --lcm-steps FROM THE SAME x_T, ready for `anyedit_tpu eval` to
+    produce the CLIP/dirCLIP/L1/pass-rate quality-delta table (the
+    post_filter.py:15-79 acceptance bar). An inline latent/pixel-L1
+    teacher-vs-student readout prints immediately.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from anyedit_tpu.models.vae import AutoencoderKL
+    from anyedit_tpu.schedulers import make_noise_schedule
+    from anyedit_tpu.train.checkpoint import TrainCheckpointer
+    from anyedit_tpu.train.data import (
+        MixtureSampler, examples_from_ledger, pixel_batches)
+    from anyedit_tpu.train.distill import DistillConfig, LCMDistiller
+    from anyedit_tpu.train.frozen import load_frozen_encoders
+    from anyedit_tpu.weights.convert import save_params
+
+    anysd_cfg, text_cfg, vis_cfg, vae_cfg = _anysd_configs(args.tiny)
+    dcfg = DistillConfig(
+        unet=anysd_cfg.unet,
+        num_ddim_steps=args.ddim_steps,
+        skip=args.skip,
+        guidance_scale=args.guidance,
+        image_guidance_scale=args.image_guidance,
+        ema_decay=args.ema_decay,
+        learning_rate=args.lr)
+
+    res = args.resolution
+    frozen = load_frozen_encoders(
+        vae_cfg, text_cfg, vis_cfg, weights_dir=args.weights_dir,
+        require=args.require_weights, seed=args.seed, resolution=res,
+        allow_fallback_tokenizers=args.tiny)
+    vae, vae_p = frozen.vae, frozen.vae_params
+    text, text_p = frozen.text, frozen.text_params
+    sf = vae_cfg.scaling_factor
+
+    ns = make_noise_schedule()
+    dist = LCMDistiller(dcfg, ns)
+    key = jax.random.key(args.seed)
+    latent_hw = res // (2 ** (len(vae_cfg.block_channels) - 1))
+    if frozen.unet_params is not None:
+        teacher = frozen.unet_params          # converted IP2P checkpoint
+    else:
+        # hermetic tiny runs only — --require-weights raised upstream if
+        # the teacher msgpack is missing
+        x0 = jnp.zeros((1, latent_hw, latent_hw, dcfg.unet.in_channels),
+                       jnp.float32)
+        ctx0 = jnp.zeros((1, text_cfg.max_len, dcfg.unet.context_dim),
+                         jnp.float32)
+        teacher = jax.jit(dist.unet.init)(key, x0,
+                                          jnp.zeros((1,), jnp.int32), ctx0)
+
+    tok = frozen.clip_tokenizer
+
+    def tokenize(s):
+        ids = tok.encode(s)[:text_cfg.max_len]
+        arr = np.zeros((1, text_cfg.max_len), np.int32)
+        arr[0, :len(ids)] = ids
+        return arr
+
+    uncond_ids = jnp.asarray(tokenize(""))
+
+    # frozen-tower params as jit ARGUMENTS (core/jit.py rationale)
+    @jax.jit
+    def encode(vae_p, text_p, batch):
+        e_mean, _ = vae.apply(vae_p, batch["edited_px"],
+                              method=AutoencoderKL.encode)
+        o_mean, _ = vae.apply(vae_p, batch["orig_px"],
+                              method=AutoencoderKL.encode)
+        hidden, _, _ = text.apply(text_p, batch["text_ids"])
+        u_hidden, _, _ = text.apply(text_p, uncond_ids)
+        return {"edited_latents": e_mean * sf, "orig_latents": o_mean * sf,
+                "text_emb": hidden,
+                "uncond_emb": jnp.broadcast_to(u_hidden, hidden.shape)}
+
+    student, ema, opt_state = dist.init(teacher)
+    ckpt = TrainCheckpointer(args.checkpoint_dir, keep=args.keep_checkpoints,
+                             save_interval_steps=args.checkpoint_every)
+    start_step = 0
+    if args.resume:
+        step0, ap, op = ckpt.restore_latest(
+            {"student": student, "ema": ema}, opt_state)
+        if step0 is not None:
+            start_step = step0
+            student, ema, opt_state = ap["student"], ap["ema"], op
+            print(f"resumed from step {start_step}")
+
+    examples = examples_from_ledger(args.ledger, args.image_root)
+    if not examples:
+        print("no trainable success records in ledger", file=sys.stderr)
+        return 1
+    # hold out the eval set from training when we have examples to spare
+    n_eval = min(args.eval_count, max(0, len(examples) - 1))
+    train_ex = examples[n_eval:] if len(examples) > n_eval else examples
+    sampler = MixtureSampler(train_ex, seed=args.seed)
+
+    step = jax.jit(dist.distill_step)
+    losses = []
+    for i, pixel in enumerate(pixel_batches(
+            sampler, args.batch_size, res, args.steps - start_step,
+            tokenize), start=start_step):
+        batch = encode(vae_p, text_p, jax.tree.map(jnp.asarray, pixel))
+        student, ema, opt_state, loss = step(
+            student, ema, opt_state, teacher, batch,
+            jax.random.fold_in(key, i))
+        losses.append(float(loss))
+        if (i + 1) % args.log_every == 0:
+            print(json.dumps({"step": i + 1, "loss": losses[-1]}))
+        ckpt.save(i + 1, {"student": student, "ema": ema}, opt_state)
+    ckpt.wait()
+    ckpt.close()
+
+    out = args.out or str(
+        (Path(args.weights_dir) if args.weights_dir
+         else Path(args.checkpoint_dir)) / "unet_ip2p_lcm.msgpack")
+    save_params(ema, out)
+
+    report = {"final_step": args.steps, "student_checkpoint": str(out),
+              "mean_loss": float(np.mean(losses)) if losses else None,
+              "examples": len(train_ex)}
+
+    if n_eval > 0:
+        report["quality"] = _distill_eval(
+            args, dcfg, dist, ns, teacher, ema, vae, vae_p, text, text_p,
+            sf, tokenize, uncond_ids, examples[:n_eval], res, latent_hw)
+    print(json.dumps(report, indent=1))
+    return 0
+
+
+def _distill_eval(args, dcfg, dist, ns, teacher, ema, vae, vae_p, text,
+                  text_p, sf, tokenize, uncond_ids, eval_ex, res,
+                  latent_hw) -> dict:
+    """Teacher-vs-student quality readout on held-out ledger pairs.
+
+    Both editors start from the SAME pinned x_T per record (the
+    consistency function approximates the teacher ODE's endpoint map, so
+    seed parity is the correct comparison — tools/distill_quality.py
+    protocol). Writes eval_teacher/ and eval_student/ run dirs for
+    `anyedit_tpu eval` and returns the inline L1 summary."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from anyedit_tpu.core.ledger import RunLedger
+    from anyedit_tpu.diffusion.ip2p import ip2p_edit
+    from anyedit_tpu.models.vae import AutoencoderKL
+    from anyedit_tpu.ops.resize import denormalize_to_u8
+    from anyedit_tpu.train.data import _load_resized
+    from anyedit_tpu.train.distill import lcm_edit
+
+    key = jax.random.key(args.seed + 1)
+
+    @jax.jit
+    def encode_one(vae_p, text_p, orig_px, text_ids):
+        o_mean, _ = vae.apply(vae_p, orig_px, method=AutoencoderKL.encode)
+        hidden, _, _ = text.apply(text_p, text_ids)
+        u_hidden, _, _ = text.apply(text_p, uncond_ids)
+        return o_mean * sf, hidden, u_hidden
+
+    @jax.jit
+    def teacher_edit(params, img_lat, cond, uncond, x_T):
+        def eps_fn(x, t, c_):
+            return dist.unet.apply(params, x, t, c_)
+        return ip2p_edit(eps_fn, ns, img_lat, cond, uncond,
+                         jax.random.key(0), num_steps=dcfg.num_ddim_steps,
+                         guidance_scale=dcfg.guidance_scale,
+                         image_guidance_scale=dcfg.image_guidance_scale,
+                         init_latents=x_T)
+
+    @jax.jit
+    def student_edit(params, img_lat, cond, k, x_T):
+        return lcm_edit(dist.unet.apply, params, ns, dcfg, img_lat, cond,
+                        k, num_steps=args.lcm_steps, x_init=x_T)
+
+    @jax.jit
+    def decode(vae_p, lat):
+        return vae.apply(vae_p, (lat / sf), method=AutoencoderKL.decode)
+
+    dirs = {}
+    for name in ("eval_teacher", "eval_student"):
+        d = Path(args.checkpoint_dir) / name
+        (d / "edited_img").mkdir(parents=True, exist_ok=True)
+        (d / "input_img").mkdir(parents=True, exist_ok=True)
+        dirs[name] = (d, RunLedger(d / "ledger.jsonl"))
+
+    lat_l1, px_l1, edit_mag = [], [], []
+    for j, ex in enumerate(eval_ex):
+        orig = _load_resized(ex.input_file, res)[None]
+        ids = jnp.asarray(tokenize(ex.record.edit))
+        img_lat, cond, uncond = encode_one(vae_p, text_p,
+                                           jnp.asarray(orig), ids)
+        x_T = jax.random.normal(jax.random.fold_in(key, j),
+                                (1, latent_hw, latent_hw,
+                                 img_lat.shape[-1]), jnp.float32)
+        t_lat = teacher_edit(teacher, img_lat, cond, uncond, x_T)
+        s_lat = student_edit(ema, img_lat, cond,
+                             jax.random.fold_in(key, 10_000 + j), x_T)
+        lat_l1.append(float(jnp.mean(jnp.abs(t_lat - s_lat))))
+        t_px = decode(vae_p, t_lat)
+        s_px = decode(vae_p, s_lat)
+        px_l1.append(float(jnp.mean(jnp.abs(t_px - s_px))) / 2.0)
+        edit_mag.append(float(jnp.mean(jnp.abs(
+            t_px - jnp.asarray(orig)))) / 2.0)
+        orig_u8 = np.asarray(denormalize_to_u8(jnp.asarray(orig[0])))
+        for name, px in (("eval_teacher", t_px), ("eval_student", s_px)):
+            d, led = dirs[name]
+            stem = f"eval_{j}"
+            u8 = np.asarray(denormalize_to_u8(px[0]))
+            ep = d / "edited_img" / f"{stem}.png"
+            ip = d / "input_img" / f"{stem}.png"
+            Image.fromarray(u8).save(ep)
+            Image.fromarray(orig_u8).save(ip)
+            led.mark(ex.record, "success",
+                     {"edited_file": str(ep), "input_file": str(ip)})
+    for _, led in dirs.values():
+        led.close()
+    return {
+        "pairs": len(eval_ex),
+        "teacher_steps": dcfg.num_ddim_steps,
+        "student_steps": args.lcm_steps,
+        "latent_l1_teacher_vs_student": round(float(np.mean(lat_l1)), 4),
+        "pixel_l1_teacher_vs_student": round(float(np.mean(px_l1)), 4),
+        "pixel_l1_teacher_vs_orig": round(float(np.mean(edit_mag)), 4),
+        "eval_dirs": {k: str(v[0]) for k, v in dirs.items()},
+        "next": "run `anyedit_tpu eval --run-dir <dir>` on both eval dirs "
+                "for the CLIP/dirCLIP/pass-rate quality-delta table",
+    }
+
+
 def cmd_convert(args) -> int:
     """Torch checkpoint → zoo msgpack (replaces the reference's setup.sh
     download step with an explicit conversion step)."""
@@ -593,6 +838,44 @@ def main(argv=None) -> int:
     pd.add_argument("--seed", type=int, default=0)
     pd.add_argument("--tiny", action="store_true")
     pd.set_defaults(fn=cmd_edit)
+
+    px = sub.add_parser("distill", help="LCM-distill the IP2P editor into "
+                        "the few-step student (`run --lcm-steps` consumes "
+                        "the resulting unet_ip2p_lcm.msgpack)")
+    px.add_argument("--ledger", required=True,
+                    help="factory success ledger (training pairs)")
+    px.add_argument("--image-root", default=None)
+    px.add_argument("--steps", type=int, default=2000)
+    px.add_argument("--batch-size", type=int, default=8)
+    px.add_argument("--resolution", type=int, default=512)
+    px.add_argument("--lr", type=float, default=1e-5)
+    px.add_argument("--ddim-steps", type=int, default=50,
+                    help="teacher ODE grid (the factory's DDIM step count)")
+    px.add_argument("--skip", type=int, default=1,
+                    help="grid skip k per consistency target")
+    px.add_argument("--guidance", type=float, default=8.0)
+    px.add_argument("--image-guidance", type=float, default=0.9)
+    px.add_argument("--ema-decay", type=float, default=0.95)
+    px.add_argument("--lcm-steps", type=int, default=4,
+                    help="student sampling steps for the eval readout")
+    px.add_argument("--eval-count", type=int, default=8,
+                    help="held-out pairs for the teacher-vs-student "
+                         "quality readout (0 disables)")
+    px.add_argument("--seed", type=int, default=0)
+    px.add_argument("--checkpoint-dir", default="distill_ckpt")
+    px.add_argument("--checkpoint-every", type=int, default=500)
+    px.add_argument("--keep-checkpoints", type=int, default=3)
+    px.add_argument("--log-every", type=int, default=50)
+    px.add_argument("--resume", action="store_true")
+    px.add_argument("--tiny", action="store_true")
+    px.add_argument("--weights-dir", default=None,
+                    help="converted .msgpack dir (teacher unet_ip2p + "
+                         "frozen vae/clip_text); the student writes here")
+    px.add_argument("--require-weights", action="store_true")
+    px.add_argument("--out", default=None,
+                    help="student msgpack path (default "
+                         "<weights-dir>/unet_ip2p_lcm.msgpack)")
+    px.set_defaults(fn=cmd_distill)
 
     pc = sub.add_parser("convert", help="torch checkpoint → zoo msgpack")
     pc.add_argument("--model", default=None)
