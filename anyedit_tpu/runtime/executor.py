@@ -70,6 +70,14 @@ class ExecutorConfig:
     # detector forward + ONE SAM encode (the per-record loop is the
     # factory's throughput ceiling, SURVEY §3.1)
     grounding_batch: int = 0
+    # chunk mode only: device-batch the unmasked full-frame IP2P edits of
+    # pre-filter survivors into one batch-N denoise program (replaces the
+    # reference's per-record edit loop, local_pipeline_tool.py:584-710 —
+    # the ~2.7× edit-stage gap of VERDICT r4 weak #2)
+    batch_edits: bool = True
+    # bench hook: force the batched edits' DDIM step count (the pipelines
+    # hardcode the reference's production counts, edits/global_.py)
+    ip2p_steps_override: Optional[int] = None
 
 
 # each edit type's FIRST tb.ground call: (phrase field, mode, count field).
@@ -89,6 +97,20 @@ _FIRST_GROUND: dict[str, tuple[str, str]] = {
     "visual_reference": ("edited_object", "max"),
     "visual_material_transfer": ("edited_object", "max"),
     "material_transfer": ("edited_object", "max"),
+}
+
+
+# edit types whose pipeline makes exactly ONE unmasked full-frame ip2p
+# call with these (steps, s_txt, s_img) — the reference's production
+# settings (color/tone: global_tool.py:76,367 100-step 8.0/0.9; style:
+# edits/implicit.py). Masked calls (appearance fallback) stay per-record:
+# their mask depends on pipeline-internal state.
+_NO_CACHE = object()   # "grounding not precomputed" sentinel
+
+_IP2P_EDIT: dict[str, tuple[int, float, float]] = {
+    "color_alter": (100, 8.0, 0.9),
+    "tone_transfer": (100, 8.0, 0.9),
+    "style_change": (50, 7.5, 1.2),
 }
 
 
@@ -120,21 +142,75 @@ class FactoryExecutor:
         self.post_scorer = post_scorer or self._default_post_scorer
         self._gcache: dict = {}
         self._ccache: dict = {}    # id(image) → batched CLIP image embed
-        if self.cfg.grounding_batch and self.tb.ground is not None:
+        self._ecache: dict = {}    # precomputed chunk-batched ip2p edits
+        self._gmemo: dict = {}     # record-scoped grounding memo
+        if self.tb.ground is not None:
             self._wrap_ground()
+        if getattr(self.tb, "ip2p", None) is not None \
+                and hasattr(self.tb.ip2p, "_real"):
+            # shed a previous executor's layer (shared toolbox): its
+            # config/caches must not leak into this run
+            self.tb.ip2p = self.tb.ip2p._real
+        if self.cfg.grounding_batch and self.cfg.batch_edits \
+                and getattr(self.tb, "ip2p", None) is not None \
+                and getattr(self.tb.ip2p, "batch", None) is not None:
+            self._wrap_ip2p()
+
+    def _wrap_ip2p(self) -> None:
+        """Serve precomputed chunk-batched edits by (image identity,
+        instruction, steps, scales, seed); masked or uncached calls fall
+        through to the live per-record editor."""
+        real = getattr(self.tb.ip2p, "_real", self.tb.ip2p)
+
+        def ip2p(image, instruction, mask01, steps=50, s_txt=8.0,
+                 s_img=0.9, **kw):
+            if self.cfg.ip2p_steps_override:
+                # the same override the batch precompute applied — pipeline
+                # callers hardcode production step counts (edits/global_.py)
+                steps = self.cfg.ip2p_steps_override
+            if mask01 is None:
+                hit = self._ecache.get((id(image), instruction, steps,
+                                        s_txt, s_img, kw.get("seed", 0)))
+                if hit is not None:
+                    return hit
+            return real(image, instruction, mask01, steps=steps,
+                        s_txt=s_txt, s_img=s_img, **kw)
+
+        ip2p._real = real
+        ip2p.batch = real.batch
+        self.tb.ip2p = ip2p
 
     def _wrap_ground(self) -> None:
-        """Serve precomputed chunk groundings by (image identity, phrase,
-        mode, count_k); anything else (verify re-detections on edited
-        images) falls through to the live grounder."""
-        real = self.tb.ground
+        """Two grounding caches in front of the live grounder:
+          * chunk cache (_gcache) — precomputed batched first groundings,
+          * record memo (_gmemo) — within ONE record pass, repeated
+            (image, phrase, mode) calls run GDINO+SAM once. The reference
+            recomputes the same grounding in pre_filter AND the edit
+            pipeline (its design flaw, SURVEY §3.1: pre_filter.py:164 +
+            tool.py:166 call sites) — grounding is deterministic, so
+            memoizing is semantics-preserving. Verify re-detections on
+            EDITED images are fresh by construction (new array identity).
+        The memo value keeps the image reference so an id() reuse after
+        garbage collection can never alias a stale entry.
+
+        Wrapping UNWRAPS any previous executor's layer first (toolboxes
+        are shared across executors — e.g. the bench constructs one per
+        record): otherwise stale memos of dead executors stack up as
+        permanent caches and corrupt both semantics and timings."""
+        real = getattr(self.tb.ground, "_real", self.tb.ground)
 
         def ground(image, phrase, mode="merge", count_k=None):
             k = (id(image), phrase, mode, count_k)
             if k in self._gcache:
                 return self._gcache[k]
-            return real(image, phrase, mode=mode, count_k=count_k)
+            hit = self._gmemo.get(k)
+            if hit is not None and hit[0] is image:
+                return hit[1]
+            g = real(image, phrase, mode=mode, count_k=count_k)
+            self._gmemo[k] = (image, g)
+            return g
 
+        ground._real = real
         ground.batch = getattr(real, "batch", None)
         self.tb.ground = ground
 
@@ -328,30 +404,106 @@ class FactoryExecutor:
                 zs = clip_batch(imgs, bucket=bucket)
             for img, z in zip(imgs, zs):
                 self._ccache[id(img)] = z
+
+        # pre-filter the chunk FIRST (cheap now: grounding + CLIP cached)
+        # so the batched edit below only spends device time on survivors —
+        # per-record semantics preserved: the same decision on the same
+        # scores, in record order, marked to the same ledger
+        pre_ok: dict[str, bool] = {}
+        if self.cfg.run_pre_filter:
+            for idx, rec in chunk:
+                if rec.key() not in loaded:
+                    continue
+                try:
+                    with self.timer.stage("pre_filter"):
+                        pre_ok[rec.key()] = self._pre_gate(
+                            rec, loaded[rec.key()])
+                except Exception as e:
+                    ledger.mark(rec, "failure",
+                                {"error": f"{type(e).__name__}: {e}",
+                                 "trace": traceback.format_exc(limit=3)})
+                    loaded.pop(rec.key(), None)
+
+        # device-batch the survivors' unmasked full-frame IP2P edits
+        # (VERDICT r4 weak #2: the edit stage ran one record at a time
+        # while batch-8 was 2.7× faster per pair)
+        if self.cfg.batch_edits \
+                and getattr(self.tb, "ip2p", None) is not None \
+                and getattr(self.tb.ip2p, "batch", None) is not None:
+            groups: dict[tuple, list] = {}
+            for idx, rec in chunk:
+                img = loaded.get(rec.key())
+                spec = _IP2P_EDIT.get(rec.edit_type)
+                if img is None or spec is None \
+                        or pre_ok.get(rec.key(), True) is False:
+                    continue
+                gspec = _first_ground_spec(rec)
+                if gspec is not None:
+                    # a failed (cached) first grounding means the pipeline
+                    # exits before its edit call — don't batch-edit it
+                    gkey = (id(img),) + gspec
+                    g = self._gcache.get(gkey, _NO_CACHE)
+                    if g is not _NO_CACHE and (
+                            g is None or
+                            not bool(np.any(np.asarray(g.mask)))):
+                        continue
+                steps, s_txt, s_img = spec
+                if self.cfg.ip2p_steps_override:
+                    steps = self.cfg.ip2p_steps_override
+                groups.setdefault((steps, s_txt, s_img), []) \
+                      .append((img, rec))
+            for (steps, s_txt, s_img), items in groups.items():
+                with self.timer.stage("edit_batch"):
+                    outs = self.tb.ip2p.batch(
+                        [im for im, _ in items],
+                        [r.edit for _, r in items],
+                        steps=steps, s_txt=s_txt, s_img=s_img,
+                        seeds=[0] * len(items))
+                for (im, r), o in zip(items, outs):
+                    self._ecache[(id(im), r.edit, steps, s_txt, s_img, 0)] = o
+
         for idx, rec in chunk:
             if rec.key() not in loaded:
                 continue
             try:
-                self._run_one(rec, lambda r: loaded[r.key()], ledger, out_root)
+                self._run_one(rec, lambda r: loaded[r.key()], ledger,
+                              out_root, pre_ok=pre_ok.get(rec.key()))
             except Exception as e:
                 ledger.mark(rec, "failure",
                             {"error": f"{type(e).__name__}: {e}",
                              "trace": traceback.format_exc(limit=3)})
         self._gcache.clear()
         self._ccache.clear()
+        self._ecache.clear()
+
+    def _pre_gate(self, rec: InstructionRecord, image) -> bool:
+        """The pre-filter decision exactly as _run_one makes it: same
+        scores, same deterministic rng draw (host_rng is keyed by
+        (seed, record key), so the chunk phase and the per-record path
+        compute the identical uniform)."""
+        rng = host_rng(self.cfg.seed, rec.key())
+        ps = self.pre_scorer(rec, image)
+        return pre_filter_decision(rec.edit_type, ps,
+                                   edited_object=rec.edited_object or "",
+                                   rng_uniform=float(rng.uniform()))
 
     def _run_one(self, rec: InstructionRecord, load_image, ledger: RunLedger,
-                 out_root: Path) -> None:
+                 out_root: Path, pre_ok: Optional[bool] = None) -> None:
+        self._gmemo.clear()     # grounding memo is scoped to one record
         rng = host_rng(self.cfg.seed, rec.key())
         with self.timer.stage("load"):
             image = load_image(rec)
 
         if self.cfg.run_pre_filter:
-            with self.timer.stage("pre_filter"):
-                ps = self.pre_scorer(rec, image)
-                ok = pre_filter_decision(rec.edit_type, ps,
-                                         edited_object=rec.edited_object or "",
-                                         rng_uniform=float(rng.uniform()))
+            if pre_ok is None:
+                with self.timer.stage("pre_filter"):
+                    ok = self._pre_gate(rec, image)
+            else:
+                ok = pre_ok
+            # keep the pipeline's rng stream identical whether the gate
+            # ran here or in the chunk phase: the decision consumed the
+            # stream's first uniform either way
+            rng.uniform()
             if not ok:
                 ledger.mark(rec, "filtered", {"stage": "pre"})
                 return

@@ -684,8 +684,8 @@ class ModelZoo:
             bkt += (-bkt) % ndp                    # bucket % dp == 0
 
             @functools.partial(jax.jit, static_argnames=("steps",))
-            def run(params, lat, cond, uncond, mask, init, steps,
-                    s_txt, s_img):
+            def run_fused(params, lat, cond, uncond, mask, init, steps,
+                          s_txt, s_img):
                 def eps_fn(x, t, c_):
                     return unet.apply(params, x, t, c_)
                 return ip2p_edit(eps_fn, ns, lat, cond, uncond,
@@ -693,6 +693,55 @@ class ModelZoo:
                                  guidance_scale=s_txt,
                                  image_guidance_scale=s_img, mask=mask,
                                  init_latents=init)
+
+            # per-step compile units for the batched editor, mirroring
+            # ip2p()'s run_stepwise (identical math; init latents provided
+            # per record instead of drawn) — the only route on hosts whose
+            # remote-compile service cannot take the fused 50-step graph
+            @functools.partial(jax.jit, static_argnames=("steps",))
+            def bstep(params, lat, img_lat, ctx3, i, steps, s_txt, s_img):
+                st = ddim_init(ns, steps)
+                nb = lat.shape[0]
+                lat3 = jnp.concatenate([lat, lat, lat], axis=0)
+                img_cond = jnp.concatenate(
+                    [img_lat, img_lat, jnp.zeros_like(img_lat)], axis=0)
+                eps3 = unet.apply(params,
+                                  jnp.concatenate([lat3, img_cond], -1),
+                                  jnp.full((3 * nb,), st.timesteps[i]), ctx3)
+                e_f, e_i, e_u = jnp.split(eps3, 3, axis=0)
+                eps = e_u + s_txt * (e_f - e_i) + s_img * (e_i - e_u)
+                return ddim_step(ns, st, i, eps, lat)
+
+            @functools.partial(jax.jit, static_argnames=("steps",))
+            def bcomposite(lat, img_lat, mask, noise, i, steps):
+                st = ddim_init(ns, steps)
+                t_next = jnp.where(
+                    i + 1 < steps,
+                    st.timesteps[jnp.minimum(i + 1, steps - 1)], 0)
+                ren = jnp.where(i + 1 < steps,
+                                add_noise(ns, img_lat, noise, t_next),
+                                img_lat)
+                return mask * lat + (1.0 - mask) * ren
+
+            def run_stepwise(params, lat, cond, uncond, mask, init, steps,
+                             s_txt, s_img):
+                x = init
+                ctx3 = jnp.concatenate([cond, uncond, uncond], axis=0)
+                # batch-wide renoise draw, same key the fused path hands
+                # ip2p_edit (per-record renoise parity is not a masked-
+                # path contract — see ip2p_batch_fn docstring)
+                renoise = jax.random.normal(
+                    jax.random.fold_in(jax.random.key(0), 1),
+                    lat.shape, jnp.float32) if mask is not None else None
+                for i in range(steps):
+                    x = bstep(params, x, lat, ctx3, jnp.asarray(i), steps,
+                              s_txt, s_img)
+                    if mask is not None:
+                        x = bcomposite(x, lat, mask, renoise,
+                                       jnp.asarray(i), steps)
+                return x
+
+            run = run_fused if c.fused_diffusion_loop else run_stepwise
 
             if c.lcm_steps > 0:
                 # distilled few-step path: the teacher 3-way-CFG DDIM math
@@ -1954,6 +2003,10 @@ class ModelZoo:
         tb = Toolbox(ground=self.grounder(), inpaint=self.inpainter())
         if with_diffusion:
             tb.ip2p = self.ip2p()
+            # device-batched sibling for the executor's chunk-batched edit
+            # stage (shares _ip2p_core's resident params; programs compile
+            # lazily on first batch call)
+            tb.ip2p.batch = self.ip2p_batch_fn()
         if with_anydoor:
             tb.extra["anydoor"] = self.anydoor()
         if with_implicit:

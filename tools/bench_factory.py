@@ -158,6 +158,27 @@ def main():
         # compute path is identical to a real success path.
         return None
 
+    # keep the grounder's device-batched sibling reachable (with the same
+    # source-image fallback per result) — without it the executor's chunk
+    # mode never engages and the "batched" pass silently re-measures the
+    # per-record path (the r4 bench's blind spot)
+    real_gbatch = getattr(real_ground, "batch", None)
+    if real_gbatch is not None:
+        def ground_batch(images, phrases, modes=None, count_ks=None,
+                         bucket=8):
+            gs = real_gbatch(images, phrases, modes=modes,
+                             count_ks=count_ks, bucket=bucket)
+            out = []
+            for img, g in zip(images, gs):
+                if id(img) in source_ids:
+                    if g is None or not bool(np.any(np.asarray(g.mask))):
+                        g = _fallback(*img.shape[:2])
+                    out.append(g)
+                else:
+                    out.append(None)
+            return out
+        ground.batch = ground_batch
+
     tb.ground = ground
 
     rng = np.random.default_rng(0)
@@ -180,7 +201,12 @@ def main():
     # and silently measured 100-step edits labeled "steps": 50).
     real_ip2p = tb.ip2p
     if real_ip2p is not None:
-        tb.ip2p = lambda *a, **k: real_ip2p(*a, **{**k, "steps": steps})
+        def _forced(*a, **k):
+            return real_ip2p(*a, **{**k, "steps": steps})
+        # keep the device-batched sibling reachable so the batched pass's
+        # executor engages the chunk-batched edit stage
+        _forced.batch = getattr(real_ip2p, "batch", None)
+        tb.ip2p = _forced
 
     source_ids.add(id(img))
 
@@ -255,12 +281,14 @@ def main():
             exb = FactoryExecutor(tb, ExecutorConfig(
                 output_root=f"{out_root}_b_{et}", run_pre_filter=True,
                 run_post_filter=True, save_images=False,
-                grounding_batch=min(8, len(group))))
+                grounding_batch=min(8, len(group)),
+                ip2p_steps_override=steps))
             exb.run(group, lambda r: imgs[r.key()])   # warm batch programs
             exb2 = FactoryExecutor(tb, ExecutorConfig(
                 output_root=f"{out_root}_b2_{et}", run_pre_filter=True,
                 run_post_filter=True, save_images=False,
-                grounding_batch=min(8, len(group))))
+                grounding_batch=min(8, len(group)),
+                ip2p_steps_override=steps))
             t0 = time.perf_counter()
             rep = exb2.run(group, lambda r: imgs[r.key()])
             bdt = time.perf_counter() - t0
