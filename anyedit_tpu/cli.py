@@ -633,6 +633,13 @@ def cmd_convert(args) -> int:
         for k, (hint, _) in sorted(REGISTRY.items()):
             print(f"{k:16s} ← {hint}")
         return 0
+    if args.plan is not None:
+        # the real-weights proof path: one script that fetches every
+        # reference checkpoint (setup.sh:20-118 re-keyed by our registry)
+        # and converts each with --verify where a torch reference exists
+        from anyedit_tpu.weights.manifest import emit_plan
+        print(emit_plan(args.plan, args.weights_dir), end="")
+        return 0
     out = args.out or str(Path(args.weights_dir) / f"{args.model}.msgpack")
     convert_checkpoint(args.model, args.src, out, verify=args.verify)
     print(f"wrote {out}")
@@ -883,6 +890,10 @@ def main(argv=None) -> int:
     pc.add_argument("--out", default=None)
     pc.add_argument("--weights-dir", default="weights")
     pc.add_argument("--list", action="store_true")
+    pc.add_argument("--plan", default=None, metavar="DOWNLOADS_DIR",
+                    help="print the fetch+convert shell script for ALL "
+                         "registry checkpoints (weights/manifest.py) "
+                         "instead of converting one")
     pc.add_argument("--verify", action="store_true",
                     help="run the torch source model vs the converted Flax "
                          "model on a fixed input; refuse to write on "
