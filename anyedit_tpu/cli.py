@@ -752,7 +752,8 @@ def cmd_generate(args) -> int:
         else:
             llm = TemplateBackend()
         gen = InstructionGenerator(llm=llm, seed=args.seed,
-                                   self_check=not args.no_self_check)
+                                   self_check=not args.no_self_check,
+                                   n_shots=args.shots)
         recs = gen.generate(args.edit_type, captions,
                             batch_size=args.batch_size)
 
@@ -939,6 +940,10 @@ def main(argv=None) -> int:
     pg.add_argument("--limit", type=int, default=0)
     pg.add_argument("--seed", type=int, default=0)
     pg.add_argument("--no-self-check", action="store_true")
+    pg.add_argument("--shots", type=int, default=5,
+                    help="few-shot examples per prompt (5 = reference "
+                         "setting; 2 lands in a ~256-token bucket, a "
+                         "3-4x prefill cut)")
     pg.set_defaults(fn=cmd_generate)
 
     pb = sub.add_parser("bench", help="throughput benchmark")

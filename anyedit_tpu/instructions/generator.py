@@ -64,6 +64,11 @@ class InstructionGenerator:
     llm: LLMFn
     seed: int = 0
     self_check: bool = True
+    # few-shot budget lever: the reference shuffles 5 shots into every
+    # prompt (prompt_generation_tool.py:195-265 get_content_instruction);
+    # 2 shots land in a ~256-token bucket instead of ~1024 under a real
+    # BPE — a 3-4× prefill-FLOP cut per caption when quality allows
+    n_shots: int = 5
 
     def generate(self, edit_type: str, captions: Sequence[str],
                  batch_size: int = 16) -> list[InstructionRecord]:
@@ -81,7 +86,8 @@ class InstructionGenerator:
         records: list[InstructionRecord] = []
         for i in range(0, len(captions), batch_size):
             batch = captions[i:i + batch_size]
-            prompts = [few_shot_prompt(edit_type, c, rng) for c in batch]
+            prompts = [few_shot_prompt(edit_type, c, rng,
+                                       n_shots=self.n_shots) for c in batch]
             raw = self.llm(prompts)
             parsed = [(c, parse_generation(r)) for c, r in zip(batch, raw)]
             parsed = [(c, p) for c, p in parsed if p is not None]

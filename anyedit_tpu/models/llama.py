@@ -260,7 +260,9 @@ def greedy_generate(model: Llama, params, prompt_embeds: jnp.ndarray,
         lambda c, pos: step(p, c, pos), carry,
         jnp.arange(l0, l0 + max_new)))
     (_, _), toks = scan(params, (logits, caches))
-    out = np.asarray(toks).T                                     # (B, max_new)
+    # np.array (copy): asarray of a jax Array is a read-only view and the
+    # EOS masking below writes in place
+    out = np.array(toks).T                                       # (B, max_new)
     if eos_id is not None:
         for r in range(out.shape[0]):
             hits = np.nonzero(out[r] == eos_id)[0]
@@ -299,7 +301,9 @@ def greedy_generate_padded(model: Llama, params, prompt_embeds: jnp.ndarray,
         jnp.arange(l0, l0 + max_new)))
     (_, _), toks = scan(params, (l0 - lengths).astype(jnp.int32),
                         (logits, caches))
-    out = np.asarray(toks).T                                     # (B, max_new)
+    # np.array (copy): asarray of a jax Array is a read-only view and the
+    # EOS masking below writes in place
+    out = np.array(toks).T                                       # (B, max_new)
     if eos_id is not None:
         for r in range(out.shape[0]):
             hits = np.nonzero(out[r] == eos_id)[0]
