@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import contextlib
 import dataclasses
+import sys
 import time
 import traceback
 from collections import defaultdict
@@ -388,13 +389,20 @@ class FactoryExecutor:
             if spec is not None:
                 todo.append((img,) + spec)
         if todo:
-            with self.timer.stage("ground_batch"):
-                results = self.tb.ground.batch(
-                    [t[0] for t in todo], [t[1] for t in todo],
-                    modes=[t[2] for t in todo],
-                    count_ks=[t[3] for t in todo], bucket=bucket)
-            for (img, phrase, mode, ck), g in zip(todo, results):
-                self._gcache[(id(img), phrase, mode, ck)] = g
+            try:
+                with self.timer.stage("ground_batch"):
+                    results = self.tb.ground.batch(
+                        [t[0] for t in todo], [t[1] for t in todo],
+                        modes=[t[2] for t in todo],
+                        count_ks=[t[3] for t in todo], bucket=bucket)
+                for (img, phrase, mode, ck), g in zip(todo, results):
+                    self._gcache[(id(img), phrase, mode, ck)] = g
+            except Exception as e:
+                # e.g. the batch-N grounding program OOMs HBM at production
+                # shapes — leave _gcache cold; pipelines ground per record
+                print(f"# ground_batch fell back to per-record "
+                      f"({type(e).__name__}: {str(e)[:200]})",
+                      file=sys.stderr, flush=True)
         # ONE CLIP tower forward for the whole chunk's pre-scoring
         clip_batch = getattr(self.tb.clip_image, "batch", None) \
             if self.tb.clip_image is not None else None
@@ -453,12 +461,21 @@ class FactoryExecutor:
                 groups.setdefault((steps, s_txt, s_img), []) \
                       .append((img, rec))
             for (steps, s_txt, s_img), items in groups.items():
-                with self.timer.stage("edit_batch"):
-                    outs = self.tb.ip2p.batch(
-                        [im for im, _ in items],
-                        [r.edit for _, r in items],
-                        steps=steps, s_txt=s_txt, s_img=s_img,
-                        seeds=[0] * len(items))
+                try:
+                    with self.timer.stage("edit_batch"):
+                        outs = self.tb.ip2p.batch(
+                            [im for im, _ in items],
+                            [r.edit for _, r in items],
+                            steps=steps, s_txt=s_txt, s_img=s_img,
+                            seeds=[0] * len(items))
+                except Exception as e:
+                    # a failed batch program (e.g. HBM OOM at this bucket)
+                    # must not fail the chunk's records: leave _ecache cold
+                    # so _run_one edits them one at a time below
+                    print(f"# edit_batch fell back to per-record "
+                          f"({type(e).__name__}: {str(e)[:200]})",
+                          file=sys.stderr, flush=True)
+                    continue
                 for (im, r), o in zip(items, outs):
                     self._ecache[(id(im), r.edit, steps, s_txt, s_img, 0)] = o
 

@@ -126,6 +126,12 @@ class ZooConfig:
     # for the PRODUCTION shapes (900q@800px, ViT-H@1024) on hosts whose
     # compile service cannot take the monolithic program.
     stepwise_grounding: bool = False
+    # device-batch size for the executor's chunk-batched IP2P edit stage
+    # (ip2p_batch_fn). Standalone the bucket-8 programs fit a 16 GiB v5e,
+    # but in the full factory (GDINO SwinB@800 + SAM ViT-H@1024 resident)
+    # a batch-8 pass hit a 24.2 GiB peak-HBM compile error (2026-08-20);
+    # bucket 4 leaves headroom. Raise on ≥32 GiB chips (v4/v5p/v6e).
+    edit_batch_bucket: int = 4
 
 
 def load_params(model, example_args: tuple, weight_file: Optional[Path],
@@ -2006,7 +2012,8 @@ class ModelZoo:
             # device-batched sibling for the executor's chunk-batched edit
             # stage (shares _ip2p_core's resident params; programs compile
             # lazily on first batch call)
-            tb.ip2p.batch = self.ip2p_batch_fn()
+            tb.ip2p.batch = self.ip2p_batch_fn(
+                bucket=self.cfg.edit_batch_bucket)
         if with_anydoor:
             tb.extra["anydoor"] = self.anydoor()
         if with_implicit:

@@ -312,3 +312,47 @@ def test_executor_grounding_memo_within_record(tmp_path):
     assert len(live) == 4, "second run must re-ground, not serve stale"
     # and wrapping stays one layer deep
     assert not hasattr(ex2.tb.ground._real, "_real")
+
+
+def test_executor_batch_program_failure_falls_back(tmp_path):
+    """A failed batch program (e.g. HBM OOM at the chosen bucket — the
+    2026-08-20 production bench hit exactly this) must degrade to the
+    per-record path with IDENTICAL ledger outcomes, not fail the chunk's
+    records."""
+    recs = _color_records(5)
+
+    def boom(*a, **kw):
+        raise RuntimeError("RESOURCE_EXHAUSTED: hbm")
+
+    # control: working batch programs
+    tb0 = _ground_with_batch(make_toolbox())
+    ex0 = FactoryExecutor(tb0, ExecutorConfig(
+        output_root=str(tmp_path / "c"), grounding_batch=8))
+    want = ex0.run(recs, _loader)["counts"]
+    assert sum(want.values()) == 5
+
+    # batched grounding raises → per-record grounding serves the records
+    tb = _ground_with_batch(make_toolbox())
+    tb.ground.batch = boom
+    ex = FactoryExecutor(tb, ExecutorConfig(
+        output_root=str(tmp_path / "g"), grounding_batch=8))
+    rep = ex.run(recs, _loader)
+    assert rep["counts"] == want
+
+    # batched edit raises → per-record ip2p edits the survivors
+    tb2 = _ground_with_batch(make_toolbox())
+    per_calls = []
+    real = tb2.ip2p
+
+    def ip2p(image, instruction, mask01, steps=50, s_txt=8.0, s_img=0.9,
+             **kw):
+        per_calls.append(instruction)
+        return real(image, instruction, mask01, steps, s_txt, s_img)
+
+    ip2p.batch = boom
+    tb2.ip2p = ip2p
+    ex2 = FactoryExecutor(tb2, ExecutorConfig(
+        output_root=str(tmp_path / "e"), grounding_batch=8))
+    rep2 = ex2.run(recs, _loader)
+    assert rep2["counts"] == want
+    assert len(per_calls) > 0                  # edits ran per record

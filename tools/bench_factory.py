@@ -274,6 +274,13 @@ def main():
     # copy: the executor's embed caches key on id(image), and one shared
     # array would collapse the chunk to a single CLIP/ground forward.
     batched = {}
+    # --gbatch N sets the batched pass's grounding batch; default 4 at the
+    # production shapes (batch-8 GDINO SwinB@800px exceeded v5e HBM in the
+    # 2026-08-20 run), 8 at the reduced/tiny shapes
+    if "--gbatch" in sys.argv:
+        gbatch = int(sys.argv[sys.argv.index("--gbatch") + 1])
+    else:
+        gbatch = 4 if "--prod" in sys.argv else 8
     for et, group in by_type.items():
         try:
             imgs = {r.key(): img.copy() for r in group}
@@ -281,13 +288,13 @@ def main():
             exb = FactoryExecutor(tb, ExecutorConfig(
                 output_root=f"{out_root}_b_{et}", run_pre_filter=True,
                 run_post_filter=True, save_images=False,
-                grounding_batch=min(8, len(group)),
+                grounding_batch=min(gbatch, len(group)),
                 ip2p_steps_override=steps))
             exb.run(group, lambda r: imgs[r.key()])   # warm batch programs
             exb2 = FactoryExecutor(tb, ExecutorConfig(
                 output_root=f"{out_root}_b2_{et}", run_pre_filter=True,
                 run_post_filter=True, save_images=False,
-                grounding_batch=min(8, len(group)),
+                grounding_batch=min(gbatch, len(group)),
                 ip2p_steps_override=steps))
             t0 = time.perf_counter()
             rep = exb2.run(group, lambda r: imgs[r.key()])
@@ -301,7 +308,7 @@ def main():
         except Exception as e:
             print(f"# batched {et} failed: {type(e).__name__}: {e}",
                   file=sys.stderr, flush=True)
-            break
+            continue
 
     # honest accounting: at random weights the edit-stage self-verify can
     # fail records, which then exit BEFORE post_filter — those records

@@ -84,7 +84,12 @@ def main():
         "utf-8", "replace")
     backend = LlamaBackend(model, params, tokenize, detok,
                            max_new=MAX_NEW, batch_size=BATCH)
-    gen = InstructionGenerator(llm=backend, seed=0)
+    # --shots N: the few-shot budget lever (generator.py n_shots) — 2
+    # shots land in a ~256-token bucket vs 5 shots' ~1024, a 3-4x prefill
+    # cut when quality allows
+    shots = (int(sys.argv[sys.argv.index("--shots") + 1])
+             if "--shots" in sys.argv else 5)
+    gen = InstructionGenerator(llm=backend, seed=0, n_shots=shots)
 
     subjects = ["a dog", "two children", "a red bus", "an old clock",
                 "a bowl of fruit", "a cyclist", "a wooden bench",
@@ -128,6 +133,7 @@ def main():
         "value": round(n / dt * 3600.0, 1),
         "unit": "records/hour/chip",
         "captions": n,
+        "shots": shots,
         "wall_s": round(dt, 2),
         "gen_s": round(t1 - t0, 2),
         "selfcheck_s": round(t2 - t1, 2),

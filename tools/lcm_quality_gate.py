@@ -300,9 +300,9 @@ def main():
             lat = ddim_step(ns, st, i, eps, lat)
         return lat
 
-    def student_edit(params, orig_lat, ctx, x_T, k):
+    def student_edit(params, orig_lat, ctx, x_T, k, n_steps=4):
         return lcm_edit(unet.apply, params, ns, dcfg, orig_lat, ctx, k,
-                        num_steps=4, x_init=x_T)
+                        num_steps=n_steps, x_init=x_T)
 
     def to_u8(dec_px):
         return np.asarray(jnp.clip((dec_px[0] + 1.0) * 127.5, 0, 255)
@@ -317,17 +317,27 @@ def main():
     tb.clip_image = clip_image
     tb.clip_text = clip_text
 
-    pairs = [(s, d) for s in names for d in names if s != d]
+    # 3 held-out seeds per (src, dst) color pair → 18 scored entries per
+    # editor; 1-step rows isolate what distillation BUYS (a one-jump
+    # consistency prediction — the undistilled eps-model has no reason to
+    # land on the ODE endpoint there, while 4 steps of any sampler can
+    # limp home on an easy domain).
+    pairs = [(s, d, r) for s in names for d in names if s != d
+             for r in range(3)]
     editors = {"teacher": lambda ol, cx, xT, k: teacher_edit(
                    ol, cx, xT, dcfg.num_ddim_steps),
                "student": lambda ol, cx, xT, k: student_edit(
                    ema, ol, cx, xT, k),
                "no_distill_student": lambda ol, cx, xT, k: student_edit(
-                   tp, ol, cx, xT, k)}
+                   tp, ol, cx, xT, k),
+               "student_1step": lambda ol, cx, xT, k: student_edit(
+                   ema, ol, cx, xT, k, n_steps=1),
+               "no_distill_1step": lambda ol, cx, xT, k: student_edit(
+                   tp, ol, cx, xT, k, n_steps=1)}
     tables = {}
     for editor_name, run in editors.items():
         entries, imgs = [], []
-        for j, (s, d) in enumerate(pairs):
+        for j, (s, d, r) in enumerate(pairs):
             orig_u8 = _image(s, seed=60_000 + j)     # held-out noise draws
             ol = encode(vae_p, px(orig_u8))
             xT = jax.random.normal(jax.random.fold_in(key, 80_000 + j),
@@ -337,8 +347,8 @@ def main():
             edited_u8 = to_u8(decode(vae_p, lat))
             rec = InstructionRecord(
                 edit=instr[d], input=CAPTIONS[s], output=CAPTIONS[d],
-                edit_type="tone_transfer", image_file=f"{s}_{d}.png")
-            entries.append({"key": f"{s}->{d}", "record": rec.to_json(),
+                edit_type="tone_transfer", image_file=f"{s}_{d}_{r}.png")
+            entries.append({"key": f"{s}->{d}#{r}", "record": rec.to_json(),
                             "payload": {}})
             imgs.append((orig_u8, edited_u8))
         it = iter(imgs)
@@ -351,11 +361,12 @@ def main():
               file=sys.stderr, flush=True)
 
     out = {
-        "metric": "tiny-trained LCM quality gate: tone_transfer over 6 "
-                  "held-out color pairs, teacher %d-step DDIM vs student "
-                  "4-step consistency (same x_T), scored by "
-                  "evaluate_pairs with a trained tiny CLIP"
-                  % dcfg.num_ddim_steps,
+        "metric": "tiny-trained LCM quality gate: tone_transfer over %d "
+                  "held-out color-pair edits, teacher %d-step DDIM vs "
+                  "student 4-step consistency (same x_T), scored by "
+                  "evaluate_pairs with a trained tiny CLIP; *_1step rows "
+                  "isolate the distillation effect"
+                  % (len(pairs), dcfg.num_ddim_steps),
         **tables,
         "pass_rate_delta": round(
             tables["student"]["pass_rate"] - tables["teacher"]["pass_rate"],
