@@ -152,9 +152,12 @@ class FactoryExecutor:
             # shed a previous executor's layer (shared toolbox): its
             # config/caches must not leak into this run
             self.tb.ip2p = self.tb.ip2p._real
-        if self.cfg.grounding_batch and self.cfg.batch_edits \
-                and getattr(self.tb, "ip2p", None) is not None \
-                and getattr(self.tb.ip2p, "batch", None) is not None:
+        if getattr(self.tb, "ip2p", None) is not None and (
+                (self.cfg.grounding_batch and self.cfg.batch_edits
+                 and getattr(self.tb.ip2p, "batch", None) is not None)
+                # the steps override must bite in per-record mode too —
+                # a config knob that silently no-ops is a footgun
+                or self.cfg.ip2p_steps_override):
             self._wrap_ip2p()
 
     def _wrap_ip2p(self) -> None:
@@ -178,7 +181,7 @@ class FactoryExecutor:
                         s_txt=s_txt, s_img=s_img, **kw)
 
         ip2p._real = real
-        ip2p.batch = real.batch
+        ip2p.batch = getattr(real, "batch", None)
         self.tb.ip2p = ip2p
 
     def _wrap_ground(self) -> None:

@@ -56,8 +56,16 @@ _SMOKE_MODULES = {
 }
 
 # individually-slow tests demoted out of an otherwise-smoke module
+# (each is covered at depth by its full-tier module; smoke keeps the
+# fastest representative of the same wiring)
 _SMOKE_EXCLUDE = {
     ("test_zoo", "test_ip2p_stepwise_matches_fused"),   # ~64 s warm
+    ("test_instructions", "test_composition_record_caption_to_image"),  # ~29 s
+    ("test_zoo", "test_grounder_stepwise_matches_monolithic"),          # ~12 s
+    ("test_convert_verify", "test_verify_clip_text_parity"),            # ~10 s
+    ("test_zoo", "test_ip2p_lcm_mode"),                                 # ~8 s
+    ("test_convert_verify", "test_verify_catches_converter_mismap"),    # ~11 s
+    ("test_convert_verify", "test_verify_depth_anything_via_hf_renamer"),  # 5-15 s
 }
 
 

@@ -46,9 +46,15 @@ def smoke_toolbox():
 
 def test_smoke_subset_streams(smoke_toolbox, tmp_path):
     records = [make_record(t) for t in SMOKE_TYPES]
+    # wiring is under test, not sampler quality: 4-step loops keep this in
+    # the smoke budget (full 50-step streams: test_all_edit_types.py)
+    real_inpaint = smoke_toolbox.sd_inpaint
+    smoke_toolbox.sd_inpaint = (
+        lambda img, m, prompt, negative="", **kw:
+        real_inpaint(img, m, prompt, negative, steps=4))
     ex = FactoryExecutor(smoke_toolbox, ExecutorConfig(
         output_root=str(tmp_path), run_pre_filter=False,
-        run_post_filter=False))
+        run_post_filter=False, ip2p_steps_override=4))
     report = ex.run(records, lambda rec: scene())
     assert sum(report["counts"].values()) == len(records), report
 
