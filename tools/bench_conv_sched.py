@@ -5,10 +5,17 @@ per-dispatch microbench (tools/bench_quant_micro.py). Those numbers are
 contaminated: each iteration crosses the tunneled dispatch boundary 3x
 (jitted op + eager mean + eager add), so ~1 ms ops bounce 2x between runs.
 
-This tool measures the TRUE sustained MXU rate per variant by chaining
-K applications inside ONE jitted `lax.scan` program (distinct weights per
-step so nothing folds; the chain is data-dependent so nothing overlaps)
-and reading back one element — a single dispatch amortises the tunnel.
+Measurement design (v2, 2026-08-20): ONE jitted iteration, chained
+K times by async dispatch (h carried, data-dependent), fenced ONCE by a
+single-element value fetch, at two chain lengths — the per-iter cost is
+the K-slope (t_long - t_short) / (K_long - K_short), which cancels the
+fixed dispatch/fence overhead exactly. The v1 design (whole chain inside
+one `lax.scan` program) is unusable in this environment: the chained-scan
+program wedges the tunneled execution service indefinitely (execution
+never completes; a subsequent trivial matmul needed a 124 s queue drain),
+and closing over device-array weights additionally wedges *tracing* in
+the MLIR constant handler's device→host readback. Weights are therefore
+jit ARGUMENTS and programs are single-iteration.
 
 Variants answer the VERDICT round-4 item "conv-side scheduling":
   * conv3x3 at the real UNet level shapes (320/640/1280 ch, NHWC)
@@ -20,7 +27,7 @@ Variants answer the VERDICT round-4 item "conv-side scheduling":
 
 Prints ms/iter and sustained TFLOP/s (vs the 197 TFLOP/s v5e bf16 peak).
 
-Usage: python tools/bench_conv_sched.py [--iters K]
+Usage: python tools/bench_conv_sched.py [--iters K_long]
 """
 
 import os
@@ -39,50 +46,60 @@ enable_persistent_cache(os.path.dirname(os.path.dirname(
 
 B = 24          # bench batch: 8 pairs x 3-way CFG
 PEAK = 197.0    # v5e bf16 TFLOP/s
-K = 50 if "--iters" not in sys.argv else int(
+K_LONG = 64 if "--iters" not in sys.argv else int(
     sys.argv[sys.argv.index("--iters") + 1])
+K_SHORT = max(4, K_LONG // 4)
 
 
-def run(name, make_chain, flops_per_iter, reps=3):
-    """make_chain() -> (jitted_fn, x0); fn runs K data-dependent iters."""
-    fn, x0 = make_chain()
-    y = fn(x0)
-    float(np.asarray(jax.device_get(jnp.ravel(y)[0])))  # compile + fence
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        y = fn(x0)
-        float(np.asarray(jax.device_get(jnp.ravel(y)[0])))
-        best = min(best, time.perf_counter() - t0)
-    ms = best / K * 1e3
+def _fence(h):
+    float(np.asarray(jax.device_get(jnp.ravel(h)[0])))
+
+
+def run(name, make_iter, flops_per_iter, reps=3):
+    """make_iter() -> (fn, h0, extra). fn(h, *extra) -> h is ONE jitted
+    iteration; `extra` (weights etc.) are real jit arguments."""
+    fn, h0, extra = make_iter()
+    _fence(fn(h0, *extra))                      # compile + warm
+
+    def chain(k):
+        best = float("inf")
+        for _ in range(reps):
+            h = h0
+            t0 = time.perf_counter()
+            for _ in range(k):
+                h = fn(h, *extra)               # async dispatch, h carried
+            _fence(h)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_s, t_l = chain(K_SHORT), chain(K_LONG)
+    ms = (t_l - t_s) / (K_LONG - K_SHORT) * 1e3   # slope: fixed cost cancels
     tf = flops_per_iter / (ms / 1e3) / 1e12
+    fixed_ms = (t_s - ms * 1e-3 * K_SHORT) * 1e3
     print(f"{name:42} {ms:8.3f} ms/iter  {tf:6.1f} TFLOP/s "
-          f"({tf / PEAK * 100:4.1f}% peak)", flush=True)
+          f"({tf / PEAK * 100:4.1f}% peak)  [fixed {fixed_ms:.1f} ms]",
+          flush=True)
     return ms
 
 
 def conv_chain(s, c, pad_to=None):
-    """K chained 3x3 SAME convs, distinct weights, optional lane pad."""
+    """Chained 3x3 SAME convs; optional zero-padded lane count."""
     cp = pad_to or c
 
     def make():
-        key = jax.random.key(0)
-        x = jax.random.normal(key, (B, s, s, cp), jnp.bfloat16)
-        w = (jax.random.normal(jax.random.key(1), (K, 3, 3, cp, cp),
+        x = jax.random.normal(jax.random.key(0), (B, s, s, cp), jnp.bfloat16)
+        w = (jax.random.normal(jax.random.key(1), (3, 3, cp, cp),
                                jnp.bfloat16) * 0.02)
         if pad_to:  # zero the padded channels so math matches a 320-ch conv
-            w = w.at[:, :, :, c:, :].set(0).at[:, :, :, :, c:].set(0)
+            w = w.at[:, :, c:, :].set(0).at[:, :, :, c:].set(0)
 
         @jax.jit
-        def fn(x):
-            def body(h, wi):
-                h = jax.lax.conv_general_dilated(
-                    h, wi, (1, 1), "SAME",
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
-                return h * (1.0 / jnp.sqrt(9.0 * cp)), ()
-            h, _ = jax.lax.scan(body, x, w)
-            return h
-        return fn, x
+        def fn(h, w):
+            h = jax.lax.conv_general_dilated(
+                h, w, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return h * (1.0 / jnp.sqrt(9.0 * cp))
+        return fn, x, (w,)
     # FLOPs priced at the LOGICAL (unpadded) conv — the padded variant
     # must win on WALL TIME to pay for its extra lanes
     return make, 2 * B * s * s * 9 * c * c
@@ -92,20 +109,17 @@ def im2col_chain(s, c):
     """L0 conv as extract-patches + dot_general."""
     def make():
         x = jax.random.normal(jax.random.key(0), (B, s, s, c), jnp.bfloat16)
-        w = (jax.random.normal(jax.random.key(1), (K, 9 * c, c),
+        w = (jax.random.normal(jax.random.key(1), (9 * c, c),
                                jnp.bfloat16) * 0.02)
 
         @jax.jit
-        def fn(x):
-            def body(h, wi):
-                p = jax.lax.conv_general_dilated_patches(
-                    h, (3, 3), (1, 1), "SAME",
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
-                h = jnp.einsum("bhwk,kc->bhwc", p, wi)
-                return h * (1.0 / jnp.sqrt(9.0 * c)), ()
-            h, _ = jax.lax.scan(body, x, w)
-            return h
-        return fn, x
+        def fn(h, w):
+            p = jax.lax.conv_general_dilated_patches(
+                h, (3, 3), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            h = jnp.einsum("bhwk,kc->bhwc", p, w)
+            return h * (1.0 / jnp.sqrt(9.0 * c))
+        return fn, x, (w,)
     return make, 2 * B * s * s * 9 * c * c
 
 
@@ -117,20 +131,17 @@ def gn_silu_conv_chain(s, c):
     def make():
         x = jax.random.normal(jax.random.key(0), (B, s, s, c), jnp.bfloat16)
         gp = gn.init(jax.random.key(2), x)
-        w = (jax.random.normal(jax.random.key(1), (K, 3, 3, c, c),
+        w = (jax.random.normal(jax.random.key(1), (3, 3, c, c),
                                jnp.bfloat16) * 0.02)
 
         @jax.jit
-        def fn(x):
-            def body(h, wi):
-                h = gn.apply(gp, h)
-                h = jax.lax.conv_general_dilated(
-                    h, wi, (1, 1), "SAME",
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
-                return h, ()
-            h, _ = jax.lax.scan(body, x, w)
-            return h
-        return fn, x
+        def fn(h, gp, w):
+            h = gn.apply(gp, h)
+            h = jax.lax.conv_general_dilated(
+                h, w, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return h * (1.0 / jnp.sqrt(9.0 * c))
+        return fn, x, (gp, w)
     return make, 2 * B * s * s * 9 * c * c
 
 
@@ -143,19 +154,15 @@ def flash_chain():
         q = jax.random.normal(jax.random.key(0), (B, H, L, D), jnp.bfloat16)
 
         @jax.jit
-        def fn(q):
-            def body(h, _):
-                h = attn_op(h, h, h)
-                return h * 0.99, ()
-            h, _ = jax.lax.scan(body, q, None, length=K)
-            return h
-        return fn, q
+        def fn(h):
+            return attn_op(h, h, h) * 0.99
+        return fn, q, ()
     return make, 2 * 2 * B * H * L * L * D
 
 
 def main():
-    print(f"batch {B}, {K} chained iters per program, best of 3 "
-          f"(one dispatch per program)", flush=True)
+    print(f"batch {B}, async-dispatch chains, per-iter = K-slope over "
+          f"K={K_SHORT}/{K_LONG}, best of 3", flush=True)
     for tag, s, c in [("conv3x3 L0 64x64x320", 64, 320),
                       ("conv3x3 L1 32x32x640", 32, 640),
                       ("conv3x3 L2 16x16x1280", 16, 1280)]:
