@@ -274,13 +274,17 @@ def main():
     # copy: the executor's embed caches key on id(image), and one shared
     # array would collapse the chunk to a single CLIP/ground forward.
     batched = {}
-    # --gbatch N sets the batched pass's grounding batch; default 4 at the
-    # production shapes (batch-8 GDINO SwinB@800px exceeded v5e HBM in the
-    # 2026-08-20 run), 8 at the reduced/tiny shapes
+    # --gbatch N sets the chunk size of the batched pass. At --prod shapes
+    # device-batched GROUNDING is off by default: batch-8 AND batch-4
+    # GDINO SwinB@800px programs both exhausted v5e HBM next to the
+    # resident model set (2026-08-20 runs) — chunk mode then batches CLIP
+    # scoring + the bucket-4 edit programs while grounding runs per record
+    # through the memo. --batch-grounding forces grounding batching on.
     if "--gbatch" in sys.argv:
         gbatch = int(sys.argv[sys.argv.index("--gbatch") + 1])
     else:
-        gbatch = 4 if "--prod" in sys.argv else 8
+        gbatch = 8
+    bground = "--batch-grounding" in sys.argv or "--prod" not in sys.argv
     for et, group in by_type.items():
         try:
             imgs = {r.key(): img.copy() for r in group}
@@ -289,12 +293,14 @@ def main():
                 output_root=f"{out_root}_b_{et}", run_pre_filter=True,
                 run_post_filter=True, save_images=False,
                 grounding_batch=min(gbatch, len(group)),
+                batch_grounding=bground,
                 ip2p_steps_override=steps))
             exb.run(group, lambda r: imgs[r.key()])   # warm batch programs
             exb2 = FactoryExecutor(tb, ExecutorConfig(
                 output_root=f"{out_root}_b2_{et}", run_pre_filter=True,
                 run_post_filter=True, save_images=False,
                 grounding_batch=min(gbatch, len(group)),
+                batch_grounding=bground,
                 ip2p_steps_override=steps))
             t0 = time.perf_counter()
             rep = exb2.run(group, lambda r: imgs[r.key()])
