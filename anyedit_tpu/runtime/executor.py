@@ -386,6 +386,10 @@ class FactoryExecutor:
         """Device-batch every batchable first grounding of a preloaded
         chunk, then stream records through their pipelines against the
         warm cache."""
+        # memo scope = one chunk here (pre-gate groundings must survive
+        # into the records' _run_one passes); the identity guard keeps
+        # reuse safe and this clear bounds memory to one chunk's images
+        self._gmemo.clear()
         loaded: dict[str, np.ndarray] = {}
         todo = []   # (image, phrase, mode, count_k)
         for idx, rec in chunk:
@@ -499,7 +503,8 @@ class FactoryExecutor:
                 continue
             try:
                 self._run_one(rec, lambda r: loaded[r.key()], ledger,
-                              out_root, pre_ok=pre_ok.get(rec.key()))
+                              out_root, pre_ok=pre_ok.get(rec.key()),
+                              keep_memo=True)
             except Exception as e:
                 ledger.mark(rec, "failure",
                             {"error": f"{type(e).__name__}: {e}",
@@ -520,8 +525,18 @@ class FactoryExecutor:
                                    rng_uniform=float(rng.uniform()))
 
     def _run_one(self, rec: InstructionRecord, load_image, ledger: RunLedger,
-                 out_root: Path, pre_ok: Optional[bool] = None) -> None:
-        self._gmemo.clear()     # grounding memo is scoped to one record
+                 out_root: Path, pre_ok: Optional[bool] = None,
+                 keep_memo: bool = False) -> None:
+        if not keep_memo:
+            # record-scoped in the per-record loop; chunk mode clears at
+            # chunk boundaries instead — the pre-gate grounds BEFORE
+            # _run_one there, and clearing here discarded that work, so
+            # every pipeline re-ground the same (image, phrase): one extra
+            # GDINO+SAM pass per record whenever batch_grounding was off
+            # (found via the 2026-08-20 prod bench's edit-stage misses).
+            # Entries are image-identity-guarded, so correctness never
+            # depended on the clear — only memory reclamation does.
+            self._gmemo.clear()
         rng = host_rng(self.cfg.seed, rec.key())
         with self.timer.stage("load"):
             image = load_image(rec)

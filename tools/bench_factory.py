@@ -284,7 +284,9 @@ def main():
         gbatch = int(sys.argv[sys.argv.index("--gbatch") + 1])
     else:
         gbatch = 8
-    bground = "--batch-grounding" in sys.argv or "--prod" not in sys.argv
+    bground = ("--batch-grounding" in sys.argv
+               or "--prod" not in sys.argv) \
+        and "--no-batch-grounding" not in sys.argv
     for et, group in by_type.items():
         try:
             imgs = {r.key(): img.copy() for r in group}
