@@ -357,6 +357,12 @@ def main():
             full_path_n / full_path_s * 3600, 1) if full_path_s else None,
         "per_type": results,
         "batched_per_type": batched,
+        # the chunk-mode (production) rate: batched CLIP + batched edits,
+        # grounding per-record+memoized unless --batch-grounding
+        "batched_full_path_records_per_hour_chip": round(
+            sum(b["records"] for b in batched.values())
+            / sum(b["seconds"] for b in batched.values()) * 3600, 1)
+        if batched else None,
         "measured_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "device": str(jax.devices()[0]),
         "note": f"{ground_note}; {edit_note}. records_per_hour_chip "
