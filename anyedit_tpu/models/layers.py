@@ -100,6 +100,14 @@ class GroupNorm(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        # NOTE on the fused Pallas GN (ops/groupnorm.py): isolated it wins
+        # −21% at the SD L0 shape, but routing THIS module through it made
+        # the full UNet 2.8% SLOWER (bench.py 2,947.5 vs 3,032.6 pairs/hr,
+        # 2026-08-20) — the pallas_call is a fusion boundary, and XLA's
+        # fusion of this math into the producing residual/temb adds is
+        # worth more than the kernel's saved round-trip. The XLA path
+        # below therefore stays; full account in ops/groupnorm.py +
+        # docs/perf_roofline.md.
         xf = x.astype(jnp.float32)
         g = self.num_groups
         n = xf.shape[0]

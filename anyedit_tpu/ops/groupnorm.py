@@ -35,11 +35,36 @@ def group_norm_ref(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
     return y.astype(x.dtype)
 
 
-_GN_ROW_CHUNK = 512
+# Scoped-VMEM budget for one grid step: the in/out (1,HW,C) bf16 blocks
+# plus ~3 f32 row-chunk temporaries must fit the 16 MiB scoped limit —
+# measured blow-up: chunk 512 at the SD up-path concat shape (1024,1920)
+# asked 16.88 MiB and the compile failed (2026-08-20 bench.py run).
+_VMEM_BUDGET = int(11.5 * 2 ** 20)
+
+
+def _plan_chunk(hw: int, c: int) -> int | None:
+    """Largest power-of-two row chunk (≤512, dividing hw) whose working
+    set fits the scoped-VMEM budget; None if even chunk 8 cannot.
+
+    The model charges a FULL-block f32 term on top of the bf16 in/out
+    blocks: Mosaic's measured stack for this kernel is chunk-INDEPENDENT
+    (16.88 MiB at (1024,1920) with chunk 512 and with chunk 128 — the
+    dynamic-slice reads stage a full-block upcast), so shapes where
+    8·hw·c bytes exceed the budget must take the XLA path."""
+    io = hw * c * (2 + 2 + 4)              # bf16 in + out, f32 staging
+    if io >= _VMEM_BUDGET:
+        return None
+    cap = (_VMEM_BUDGET - io) // (3 * c * 4)  # f32 chunk temporaries
+    chunk = 8
+    if cap < chunk or hw % chunk:
+        return None
+    while chunk * 2 <= min(512, cap, hw) and hw % (chunk * 2) == 0:
+        chunk *= 2
+    return chunk
 
 
 def _gn_kernel(x_ref, scale_ref, bias_ref, o_ref, *, num_groups: int,
-               eps: float, silu: bool):
+               eps: float, silu: bool, chunk: int):
     """One image per grid step; x stays bf16 in VMEM, stats accumulate in
     fp32 over row chunks (fp32 temporaries never exceed one chunk).
 
@@ -48,7 +73,6 @@ def _gn_kernel(x_ref, scale_ref, bias_ref, o_ref, *, num_groups: int,
     """
     hw, c = x_ref.shape[1], x_ref.shape[2]
     cg = c // num_groups
-    chunk = min(_GN_ROW_CHUNK, hw)
     n_chunks = hw // chunk
     assert hw % chunk == 0, (hw, chunk)
 
@@ -56,22 +80,31 @@ def _gn_kernel(x_ref, scale_ref, bias_ref, o_ref, *, num_groups: int,
     grp = jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 1)
     member = (ch // cg == grp).astype(jnp.float32)      # (C, G)
 
-    def accum(i, carry):
-        s1, s2 = carry
+    # TWO VMEM passes for the variance: x is VMEM-resident, so the second
+    # read is nearly free, and the one-pass E[x²]−E[x]² form cancels
+    # catastrophically in fp32 when |mean| ≫ std (error ~0.02 observed on
+    # high-magnitude spatially-flat features — see models/layers.py).
+    def accum_mean(i, s1):
         xc = x_ref[0, pl.ds(i * chunk, chunk), :].astype(jnp.float32)
-        return s1 + jnp.sum(xc, 0, keepdims=True), s2 + jnp.sum(xc * xc, 0, keepdims=True)
+        return s1 + jnp.sum(xc, 0, keepdims=True)
 
     z = jnp.zeros((1, c), jnp.float32)
-    s1, s2 = jax.lax.fori_loop(0, n_chunks, accum, (z, z))
+    s1 = jax.lax.fori_loop(0, n_chunks, accum_mean, z)
     denom = float(hw * cg)
     mean_g = jnp.dot(s1, member, preferred_element_type=jnp.float32) / denom  # (1, G)
-    var_g = jnp.dot(s2, member, preferred_element_type=jnp.float32) / denom \
-        - mean_g * mean_g
+    mean_c0 = jnp.dot(mean_g, member.T, preferred_element_type=jnp.float32)   # (1, C)
+
+    def accum_var(i, s2):
+        xc = x_ref[0, pl.ds(i * chunk, chunk), :].astype(jnp.float32)
+        d = xc - mean_c0
+        return s2 + jnp.sum(d * d, 0, keepdims=True)
+
+    s2 = jax.lax.fori_loop(0, n_chunks, accum_var, z)
+    var_g = jnp.dot(s2, member, preferred_element_type=jnp.float32) / denom
     inv_g = jax.lax.rsqrt(var_g + eps)
-    mean_c = jnp.dot(mean_g, member.T, preferred_element_type=jnp.float32)    # (1, C)
     inv_c = jnp.dot(inv_g, member.T, preferred_element_type=jnp.float32)
     a = inv_c * scale_ref[:].astype(jnp.float32)                               # (1, C)
-    b = bias_ref[:].astype(jnp.float32) - mean_c * a
+    b = bias_ref[:].astype(jnp.float32) - mean_c0 * a
 
     def write(i, _):
         xc = x_ref[0, pl.ds(i * chunk, chunk), :].astype(jnp.float32)
@@ -84,6 +117,15 @@ def _gn_kernel(x_ref, scale_ref, bias_ref, o_ref, *, num_groups: int,
     jax.lax.fori_loop(0, n_chunks, write, 0)
 
 
+def pallas_eligible(h: int, w: int, c: int) -> bool:
+    """True when the fused kernel will actually run for an (N,h,w,c) input:
+    the scoped-VMEM working set (in/out blocks + row-chunk temporaries)
+    must fit — see _plan_chunk. Callers with their own tuned XLA fallback
+    (models/layers.GroupNorm) gate on this so an ineligible shape never
+    detours through group_norm_ref."""
+    return _plan_chunk(h * w, c) is not None
+
+
 def group_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
                num_groups: int = 32, eps: float = 1e-5, silu: bool = False,
                use_pallas: bool | None = None,
@@ -92,17 +134,38 @@ def group_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
     n, h, w, c = x.shape
     assert c % num_groups == 0, (c, num_groups)
     if use_pallas is None:
-        # Measured on v5e (2026-08): XLA's fused GN+SiLU matches or beats this
-        # kernel at SD shapes (see tests/bench notes), so the XLA path is the
-        # default; the kernel stays for shapes where fusion breaks down.
+        # Measured TWICE on v5e, both against this kernel (variance is a
+        # VMEM two-pass; no E[x²]−E[x]² cancellation):
+        #   * K-slope harness 2026-08-20, isolated: kernel 0.285 ms vs
+        #     XLA 0.363 ms at (24,64,64,320) GN+SiLU (−21%), composite
+        #     GN+SiLU+conv 1.597 vs 1.729 ms (−7.6%);
+        #   * full UNet (bench.py, same day): 2,947.5 pairs/hr vs the
+        #     XLA path's 3,032.6 (−2.8%) — the chain-level win is erased
+        #     at program level because the pallas_call is a fusion
+        #     boundary: XLA fuses the GN read pass into the producing
+        #     residual/temb adds, and that fusion is worth more than the
+        #     kernel's saved round-trip (the int8 composition lesson
+        #     again, docs/perf_roofline.md).
+        # XLA therefore stays the default; the kernel remains for callers
+        # whose producers don't fuse (isolated normalization passes).
         use_pallas = False
-    if use_pallas and not (h * w * c * 2 <= 6 * 2 ** 20):
-        use_pallas = False  # one image block must fit VMEM
-    if h * w % min(_GN_ROW_CHUNK, h * w) != 0:
-        use_pallas = False  # row-chunked kernel needs an even split
+    if use_pallas and _plan_chunk(h * w, c) is None:
+        use_pallas = False  # working set exceeds scoped VMEM
     if not use_pallas:
         return group_norm_ref(x, scale, bias, num_groups, eps, silu)
-    kernel = functools.partial(_gn_kernel, num_groups=num_groups, eps=eps, silu=silu)
+    return _gn_pallas(x, scale, bias, num_groups, eps, silu, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _gn_pallas(x, scale, bias, num_groups, eps, silu, interpret):
+    """Pallas forward with a recompute backward: the UNet trains (AnySD
+    experts, LCM distillation), so the kernel must be differentiable —
+    the VJP re-derives gradients through the fp32 XLA reference on the
+    saved inputs (backward is training-only; layout speed is secondary
+    to exactness there)."""
+    n, h, w, c = x.shape
+    kernel = functools.partial(_gn_kernel, num_groups=num_groups, eps=eps,
+                               silu=silu, chunk=_plan_chunk(h * w, c))
     xr = x.reshape(n, h * w, c)
     out = pl.pallas_call(
         kernel,
@@ -118,6 +181,22 @@ def group_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
         interpret=interpret,
     )(xr, scale.reshape(1, c), bias.reshape(1, c))
     return out.reshape(n, h, w, c)
+
+
+def _gn_pallas_fwd(x, scale, bias, num_groups, eps, silu, interpret):
+    return (_gn_pallas(x, scale, bias, num_groups, eps, silu, interpret),
+            (x, scale, bias))
+
+
+def _gn_pallas_bwd(num_groups, eps, silu, interpret, res, ct):
+    x, scale, bias = res
+    _, vjp = jax.vjp(
+        lambda x_, s_, b_: group_norm_ref(x_, s_, b_, num_groups, eps, silu),
+        x, scale, bias)
+    return vjp(ct)
+
+
+_gn_pallas.defvjp(_gn_pallas_fwd, _gn_pallas_bwd)
 
 
 def group_norm_silu(x, scale, bias, num_groups: int = 32, eps: float = 1e-5,

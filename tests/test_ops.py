@@ -46,6 +46,64 @@ def test_groupnorm_pallas_matches_ref():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
 
 
+def test_groupnorm_pallas_high_magnitude_flat():
+    """The cancellation case of models/layers.py's docstring: |mean| >> std.
+    The kernel's VMEM two-pass variance must not cancel (the one-pass
+    E[x^2]-E[x]^2 form it replaced erred ~0.02 here)."""
+    key = jax.random.key(7)
+    # |mean|/std = 1e3: the one-pass form's var error is E[x²]·2⁻²⁴ ≈ 6e-4
+    # against a true var of 1e-2 (≈6% → ~0.03 output error, the observed
+    # bug); a two-pass's subtract-first error is ~6e-6 — far inside atol.
+    base = jax.random.normal(key, (1, 1, 1, 320)) * 0.01 + 100.0
+    x = jnp.broadcast_to(base, (2, 16, 16, 320)) \
+        + jax.random.normal(jax.random.fold_in(key, 1), (2, 16, 16, 320)) * 0.1
+    scale = jnp.ones((320,)); bias = jnp.zeros((320,))
+    ref = group_norm_ref(x, scale, bias, num_groups=32, silu=True)
+    out = group_norm(x, scale, bias, num_groups=32, silu=True,
+                     use_pallas=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_groupnorm_pallas_matches_layers_module():
+    """The fused kernel must agree with the MODEL path it replaces
+    (models/layers.GroupNorm channel-stat fp32 math) at an SD shape."""
+    from anyedit_tpu.models.layers import GroupNorm
+    key = jax.random.key(9)
+    x = (jax.random.normal(key, (2, 16, 16, 320), jnp.float32) * 3.0 + 5.0
+         ).astype(jnp.bfloat16)
+    gn = GroupNorm(num_groups=32, silu=True)
+    p = gn.init(jax.random.key(0), x)
+    ref = gn.apply(p, x)   # CPU: takes the XLA channel-stat path
+    out = group_norm(x, p["params"]["scale"], p["params"]["bias"],
+                     num_groups=32, silu=True, use_pallas=True,
+                     interpret=True)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=3e-2, rtol=3e-2)  # bf16 output quanta
+
+
+def test_groupnorm_pallas_grad():
+    """Training paths differentiate through GroupNorm (AnySD experts, LCM
+    distillation): the custom VJP must match the XLA reference's grads."""
+    key = jax.random.key(11)
+    x = jax.random.normal(key, (1, 8, 8, 64), jnp.float32)
+    scale = jnp.ones((64,)); bias = jnp.zeros((64,))
+
+    def loss_pl(x, s, b):
+        return jnp.sum(group_norm(x, s, b, num_groups=8, silu=True,
+                                  use_pallas=True, interpret=True) ** 2)
+
+    def loss_ref(x, s, b):
+        return jnp.sum(group_norm_ref(x, s, b, num_groups=8, silu=True) ** 2)
+
+    g_pl = jax.grad(loss_pl, argnums=(0, 1, 2))(x, scale, bias)
+    g_rf = jax.grad(loss_ref, argnums=(0, 1, 2))(x, scale, bias)
+    for a, b_ in zip(g_pl, g_rf):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-4, rtol=1e-4)
+
+
 def test_groupnorm_stats():
     x = jax.random.normal(jax.random.key(2), (1, 4, 4, 64))
     y = group_norm_ref(x, jnp.ones(64), jnp.zeros(64), num_groups=8)
