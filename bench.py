@@ -172,6 +172,10 @@ def main():
                 r = json.load(f)
             line["factory_stream"] = {
                 "records_per_hour_chip": r.get("records_per_hour_chip"),
+                # chunk mode (batched CLIP + batched edits) is the
+                # production path; its blended rate leads when measured
+                "batched_records_per_hour_chip": r.get(
+                    "batched_full_path_records_per_hour_chip"),
                 "records": r.get("records"),
                 "measured_utc": r.get("measured_utc"),
                 "note": r.get("note"),
